@@ -1,0 +1,135 @@
+"""Algorithm and driver configuration.
+
+Parity:
+  * ``Config``       <-> config_type, radsurf/radsurf_config.F90:32-113, with
+    the &radsurf namelist reader (radsurf_config.F90:153-161) and
+    ``consolidate`` (radsurf_config.F90:250-270).
+  * ``DriverConfig`` <-> driver_config_type,
+    driver/spartacus_surface_config.F90:21-66 with the &radsurf_driver
+    namelist (spartacus_surface_config.F90:100-106) including the
+    ``solar_zenith_angle`` degrees alternative
+    (spartacus_surface_config.F90:155-161).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+
+from .namelist import read_namelists
+
+
+@dataclass
+class Config:
+    """Algorithm configuration (the &radsurf namelist)."""
+
+    do_sw: bool = True
+    do_lw: bool = True
+    use_sw_direct_albedo: bool = False
+    do_vegetation: bool = True
+    do_urban: bool = True
+    n_vegetation_region_forest: int = 1
+    n_vegetation_region_urban: int = 1
+    nsw: int = 1
+    nlw: int = 1
+    n_stream_sw_forest: int = 4
+    n_stream_sw_urban: int = 4
+    n_stream_lw_forest: int = 4
+    n_stream_lw_urban: int = 4
+    use_symmetric_vegetation_scale_forest: bool = True
+    use_symmetric_vegetation_scale_urban: bool = True
+    vegetation_isolation_factor_forest: float = 0.0
+    vegetation_isolation_factor_urban: float = 0.0
+    min_vegetation_fraction: float = 1.0e-6
+    min_building_fraction: float = 1.0e-6
+    do_save_broadband_flux: bool = True
+    do_save_spectral_flux: bool = False
+    do_save_flux_profile: bool = False
+    iverbose: int = 3
+
+    # Computed in consolidate() (radsurf_config.F90:260-266)
+    nswinternal: int = field(default=0, repr=False)
+    nlwinternal: int = field(default=0, repr=False)
+    lg_sw_forest: object = field(default=None, repr=False)
+    lg_sw_urban: object = field(default=None, repr=False)
+    lg_lw_forest: object = field(default=None, repr=False)
+    lg_lw_urban: object = field(default=None, repr=False)
+
+    # Number of layer-doubling steps used by the matrix-exponential layer
+    # kernel (TPU-native replacement for the reference's eigen-decomposition;
+    # no reference equivalent). 2**n_double bounds the per-layer diffuse
+    # optical thickness handled at full accuracy.
+    n_double: int = 12
+
+    @classmethod
+    def from_namelist(cls, path: str) -> "Config":
+        cfg = cls()
+        group = read_namelists(path).get("radsurf", {})
+        names = {f.name for f in dataclasses.fields(cls)}
+        for key, val in group.items():
+            if key in names:
+                setattr(cfg, key, val)
+        return cfg
+
+    def consolidate(self) -> "Config":
+        from ..ops.legendre_gauss import LegendreGauss
+
+        self.nswinternal = self.nsw
+        self.nlwinternal = self.nlw
+        self.lg_sw_forest = LegendreGauss(self.n_stream_sw_forest)
+        self.lg_sw_urban = LegendreGauss(self.n_stream_sw_urban)
+        self.lg_lw_forest = LegendreGauss(self.n_stream_lw_forest)
+        self.lg_lw_urban = LegendreGauss(self.n_stream_lw_urban)
+        return self
+
+
+@dataclass
+class DriverConfig:
+    """Driver configuration (the &radsurf_driver namelist)."""
+
+    do_parallel: bool = True
+    nblocksize: int = 16
+    nrepeat: int = 1
+    istartcol: int = 1
+    iendcol: int = 0
+    iverbose: int = 3
+    do_conservation_check: bool = False
+
+    # -1.0 is the "not set" sentinel (spartacus_surface_config.F90:44-61)
+    cos_sza_override: float = -1.0
+    ground_sw_albedo: float = -1.0
+    roof_sw_albedo: float = -1.0
+    wall_sw_albedo: float = -1.0
+    ground_lw_emissivity: float = -1.0
+    roof_lw_emissivity: float = -1.0
+    wall_lw_emissivity: float = -1.0
+    vegetation_fraction: float = -1.0
+    vegetation_extinction: float = -1.0
+    vegetation_extinction_scaling: float = -1.0
+    vegetation_fsd: float = -1.0
+    vegetation_sw_ssa: float = -1.0
+    vegetation_lw_ssa: float = -1.0
+    top_flux_dn_sw: float = -1.0
+    top_flux_dn_direct_sw: float = -1.0
+    top_flux_dn_lw: float = -1.0
+    isurfacetype: int = -1
+
+    @classmethod
+    def from_namelist(cls, path: str) -> "DriverConfig":
+        cfg = cls()
+        group = read_namelists(path).get("radsurf_driver", {})
+        names = {f.name for f in dataclasses.fields(cls)}
+        renames = {"cos_solar_zenith_angle": "cos_sza_override"}
+        sza_deg = None
+        for key, val in group.items():
+            key = renames.get(key, key)
+            if key == "solar_zenith_angle":
+                sza_deg = val
+            elif key in names:
+                setattr(cfg, key, val)
+        # Degrees alternative (spartacus_surface_config.F90:155-161)
+        if cfg.cos_sza_override == -1.0 and sza_deg is not None:
+            if 0.0 <= sza_deg <= 180.0:
+                cfg.cos_sza_override = math.cos(sza_deg * math.pi / 180.0)
+        return cfg
