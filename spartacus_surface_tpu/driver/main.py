@@ -1,0 +1,157 @@
+"""Offline driver CLI: spartacus_surface config.nam input.nc output.nc.
+
+Parity: program spartacus_surface_driver,
+driver/spartacus_surface_driver.F90:20-302 — same three arguments, namelist
+handling, benchmark repetition (nrepeat), column-range selection, flux
+scaling/summation, optional conservation check and output writing.  Where
+the reference parallelizes over OpenMP column blocks
+(spartacus_surface_driver.F90:199-234), this driver runs the whole column
+batch as jitted device computations (optionally sharded over a device mesh;
+see parallel/mesh.py).
+
+Precision: double by default to match the reference's jprb; pass
+--precision=single for the TPU-native fast path (reference supports the
+same choice via -DSINGLE_PRECISION, Makefile:42-44).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(
+        prog="spartacus_surface",
+        description=(
+            "SPARTACUS-Surface offline radiation scheme (TPU-native build)"
+        ),
+    )
+    p.add_argument("namelist", help="Namelist configuration file")
+    p.add_argument("input", help="Input NetCDF file")
+    p.add_argument("output", help="Output NetCDF file")
+    p.add_argument(
+        "--precision", choices=("double", "single"), default="double",
+        help="Working precision (double matches the reference default)",
+    )
+    p.add_argument(
+        "--platform", choices=("default", "cpu", "tpu"), default="default",
+        help=(
+            "JAX platform; 'default' uses whatever the environment provides"
+            " (TPU when available). Double precision on TPU is software-"
+            "emulated and slow; prefer --precision=single there."
+        ),
+    )
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
+    if args.precision == "double":
+        jax.config.update("jax_enable_x64", True)
+
+    import numpy as np
+
+    from ..models import flux_utils
+    from ..models.dispatch import run_radsurf
+    from ..models.simple_spectrum import calc_simple_spectrum_lw
+    from ..utils.config import Config, DriverConfig
+    from .read_input import read_input
+    from .save import save_canopy_fluxes
+
+    config = Config.from_namelist(args.namelist)
+    driver_config = DriverConfig.from_namelist(args.namelist)
+    iverbose = driver_config.iverbose
+
+    def log(*a, level=2):
+        if iverbose >= level:
+            print(*a)
+
+    log("------------------ OFFLINE SPARTACUS-SURFACE RADIATION SCHEME"
+        " (TPU) ------------------")
+    log(f"Floating-point precision: {args.precision}")
+    config.consolidate()
+
+    data = read_input(args.input, config, driver_config, verbose_print=log)
+    arrays = data["arrays"]
+    ncol = data["ncol"]
+
+    # Column-range selection (spartacus_surface_driver.F90:153-164)
+    icol1 = driver_config.istartcol
+    icol2 = driver_config.iendcol
+    if icol2 < 1 or icol2 > ncol:
+        icol2 = ncol
+    if icol1 > icol2:
+        print(
+            f"*** Error: requested column range ({icol1} to "
+            f"{driver_config.iendcol}) is out of the range in the data"
+            f" (1 to {ncol})",
+            file=sys.stderr,
+        )
+        return 1
+    if (icol1, icol2) != (1, ncol):
+        sel = slice(icol1 - 1, icol2)
+        for key, val in list(arrays.items()):
+            arrays[key] = val[sel]
+        for key in ("top_flux_dn_sw", "top_flux_dn_direct_sw",
+                    "top_flux_dn_lw"):
+            if data[key] is not None:
+                data[key] = data[key][sel]
+        ncol = icol2 - icol1 + 1
+
+    if config.do_lw:
+        calc_simple_spectrum_lw(config, arrays)
+
+    sw_flux = lw_flux = None
+    tstart = time.perf_counter()
+    for _ in range(max(1, driver_config.nrepeat)):
+        result = run_radsurf(config, arrays)
+        if config.do_sw:
+            sw_norm_dir = flux_utils.scale_flux(
+                result["sw_norm_dir"], data["top_flux_dn_direct_sw"]
+            )
+            sw_norm_diff = flux_utils.scale_flux(
+                result["sw_norm_diff"],
+                data["top_flux_dn_sw"] - data["top_flux_dn_direct_sw"],
+            )
+            sw_flux = flux_utils.sum_flux(sw_norm_dir, sw_norm_diff)
+        if config.do_lw:
+            lw_norm = flux_utils.scale_flux(
+                result["lw_norm"], data["top_flux_dn_lw"]
+            )
+            lw_flux = flux_utils.sum_flux(result["lw_internal"], lw_norm)
+    elapsed = time.perf_counter() - tstart
+    log(f"Time elapsed in radiative transfer: {elapsed:g} seconds")
+
+    if driver_config.do_conservation_check:
+        if config.do_sw:
+            print("Direct shortwave budget: radiation originating from"
+                  " direct solar at canopy top")
+            flux_utils.check_flux(result["sw_norm_dir"], arrays, "sw_dir")
+            print("Diffuse shortwave budget: radiation originating from"
+                  " downward diffuse solar at canopy top")
+            flux_utils.check_flux(result["sw_norm_diff"], arrays, "sw_diff")
+        if config.do_lw:
+            print("Internal longwave budget: radiation originating from"
+                  " emission within canopy")
+            flux_utils.check_flux(result["lw_internal"], arrays, "lw_int")
+            print("Incoming longwave budget: radiation originating from"
+                  " downward longwave at canopy top")
+            flux_utils.check_flux(result["lw_norm"], arrays, "lw_norm")
+
+    save_canopy_fluxes(args.output, config, arrays, sw_flux, lw_flux,
+                       iverbose=iverbose)
+    log("-----------------------------------------------------------------"
+        "---------------")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

