@@ -1,0 +1,75 @@
+"""Benchmark: columns/sec/chip for the full SW+LW vegetated-urban solve.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (fixed shape, cf. BASELINE.md): vegetated-urban canopy, 8 layers,
+1 spectral interval, 4 streams/hemisphere, 2 regions, SW (both
+normalizations) + LW (internal + incoming) — the full per-timestep work of
+the offline scheme, float32 on the available accelerator.
+
+The reference publishes no benchmark numbers (BASELINE.md); vs_baseline is
+measured against this project's own round-1 single-chip TPU v5e figure so
+later rounds report their speedup.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Round-1 single-chip baseline (TPU v5e, this workload), columns/sec:
+# the first full-solver measurement (pre layout optimization, C=16384,
+# float32, 2026-08-17).  See BASELINE.md.
+ROUND1_BASELINE_COLS_PER_SEC = 3.656e6
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as g
+    from spartacus_surface_tpu.models.solver import (
+        SolverOptions, spartacus_lw, spartacus_sw)
+    from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
+
+    C, L, S = 16384, 8, 1
+    opt = SolverOptions(nreg=2, nstream=4, do_urban=True)
+    lg = LegendreGauss(4)
+    sw_inp, lw_inp = g._example_inputs(C=C, L=L, S=S, dtype=np.float32)
+
+    @jax.jit
+    def step(sw_in, lw_in):
+        nd, nf, bc = spartacus_sw(sw_in, opt, lg)
+        li, ln, lbc = spartacus_lw(lw_in, opt, lg)
+        return (
+            nd["ground_dn"], nf["ground_dn"], li["ground_net"],
+            ln["ground_dn"], bc["top_albedo_dir"], lbc["top_emissivity"],
+        )
+
+    # Warm-up / compile
+    out = step(sw_inp, lw_inp)
+    jax.block_until_ready(out)
+
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(sw_inp, lw_inp)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    n_chips = jax.device_count()
+    cols_per_sec_per_chip = C / dt / n_chips
+    print(json.dumps({
+        "metric": "columns_per_sec_per_chip_sw_lw_urban8lay",
+        "value": round(cols_per_sec_per_chip, 1),
+        "unit": "columns/s/chip",
+        "vs_baseline": round(
+            cols_per_sec_per_chip / ROUND1_BASELINE_COLS_PER_SEC, 3
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()

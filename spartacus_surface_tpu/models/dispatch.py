@@ -285,7 +285,7 @@ def run_radsurf(config: Config, arrays: dict):
             raise ValueError(
                 "simple urban representations must have only one layer"
             )
-        is_inf = (rep[idx] == TILE_INFINITE_STREET)[:, None]
+        is_inf = rep[idx] == TILE_INFINITE_STREET
         dz = arrays["dz"][idx, 0]
         bf = arrays["building_fraction"][idx, 0]
         bs = arrays["building_scale"][idx, 0]
