@@ -21,9 +21,10 @@ import time
 import numpy as np
 
 # Round-1 single-chip baseline (TPU v5e, this workload), columns/sec:
-# the first full-solver measurement (pre layout optimization, C=16384,
-# float32, 2026-08-17).  See BASELINE.md.
-ROUND1_BASELINE_COLS_PER_SEC = 3.656e6
+# first honest full-solver measurement (all outputs forced, device-resident
+# inputs, pre layout optimization; C=16384, float32, 2026-08-17).
+# See BASELINE.md.  vs_baseline therefore tracks optimization progress.
+ROUND1_BASELINE_COLS_PER_SEC = 26.8e6
 
 
 def main():
@@ -38,21 +39,30 @@ def main():
     opt = SolverOptions(nreg=2, nstream=4, do_urban=True)
     lg = LegendreGauss(4)
     sw_inp, lw_inp = g._example_inputs(C=C, L=L, S=S, dtype=np.float32)
+    # Steady-state compute throughput: inputs resident on device (production
+    # keeps canopy state on-chip across timesteps; host transfer is a
+    # one-time cost and, over the dev tunnel, not representative).
+    put = lambda x: None if x is None else jax.device_put(x)
+    sw_inp = jax.tree_util.tree_map(put, sw_inp)
+    lw_inp = jax.tree_util.tree_map(put, lw_inp)
 
     @jax.jit
     def step(sw_in, lw_in):
         nd, nf, bc = spartacus_sw(sw_in, opt, lg)
         li, ln, lbc = spartacus_lw(lw_in, opt, lg)
-        return (
-            nd["ground_dn"], nf["ground_dn"], li["ground_net"],
-            ln["ground_dn"], bc["top_albedo_dir"], lbc["top_emissivity"],
-        )
+        # Reduce EVERY output so nothing is dead-code-eliminated, while
+        # keeping device->host traffic negligible.
+        import jax.numpy as jnp
+
+        leaves = jax.tree_util.tree_leaves((nd, nf, bc, li, ln, lbc))
+        checksum = sum(jnp.sum(leaf) for leaf in leaves)
+        return nd["ground_dn"], checksum
 
     # Warm-up / compile
     out = step(sw_inp, lw_inp)
     jax.block_until_ready(out)
 
-    n_iter = 5
+    n_iter = 20
     t0 = time.perf_counter()
     for _ in range(n_iter):
         out = step(sw_inp, lw_inp)

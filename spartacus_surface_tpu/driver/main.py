@@ -37,6 +37,11 @@ def build_argparser():
         help="Working precision (double matches the reference default)",
     )
     p.add_argument(
+        "--netcdf4", action="store_true",
+        help="Write the output as NetCDF4/HDF5 via the native libnetcdf"
+             " backend (default: NetCDF3 classic, as the reference driver)",
+    )
+    p.add_argument(
         "--platform", choices=("default", "cpu", "tpu"), default="default",
         help=(
             "JAX platform; 'default' uses whatever the environment provides"
@@ -147,7 +152,7 @@ def main(argv=None):
             flux_utils.check_flux(result["lw_norm"], arrays, "lw_norm")
 
     save_canopy_fluxes(args.output, config, arrays, sw_flux, lw_flux,
-                       iverbose=iverbose)
+                       iverbose=iverbose, is_hdf5_file=args.netcdf4)
     log("-----------------------------------------------------------------"
         "---------------")
     return 0

@@ -29,7 +29,8 @@ def _mask_layers(var, nlay):
     return out
 
 
-def save_canopy_fluxes(path, config, arrays, flux_sw, flux_lw, iverbose=None):
+def save_canopy_fluxes(path, config, arrays, flux_sw, flux_lw, iverbose=None,
+                       is_hdf5_file=False):
     """Write the output file (cf. save_canopy_fluxes,
     radsurf/radsurf_save.F90:26-166)."""
     nlay = arrays["nlay"]
@@ -37,7 +38,7 @@ def save_canopy_fluxes(path, config, arrays, flux_sw, flux_lw, iverbose=None):
     nmaxlay = int(nlay.max())
     dz = arrays["dz"]
 
-    with OutputFile(path) as out:
+    with OutputFile(path, is_hdf5_file=is_hdf5_file) as out:
         out.define_dimension("column", ncol)
         out.define_dimension("layer", nmaxlay)
         out.define_dimension("layer_interface", nmaxlay + 1)

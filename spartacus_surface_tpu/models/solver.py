@@ -165,6 +165,11 @@ class SolverOptions:
     min_vegetation_fraction: float = 1.0e-6
     min_building_fraction: float = 1.0e-6
     n_double: int = 12
+    # Column-chunk size for the per-layer operator factory: bounds the
+    # transient HBM footprint of the expm working set (XLA pads the
+    # trailing small-matrix dims to (8,128) tiles, a ~10x expansion, so
+    # unchunked factories OOM beyond ~16k columns/chip).  0 = no chunking.
+    factory_chunk: int = 8192
 
 
 # ----------------------------------------------------------------------
@@ -273,7 +278,15 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         cos_sza=zcos, sin_sza=sin0, tan_sza=tan0,
     )
     dz_b = jnp.broadcast_to(inp.dz[:, :, None], (C, L, S))
-    lay = layer_matrices(g0, g1, g2, g3, dz_b, n_double=opt.n_double)
+    g0 = jnp.broadcast_to(g0, (C, L, S, nreg, nreg))
+    # lay entries come back with the matrix dims FLATTENED ([C,L,S,n*m]):
+    # storage/bandwidth-optimal on TPU; unflattened views are taken per
+    # scan step.
+    lay = _chunked_factory(
+        lambda a: layer_matrices(*a, n_double=opt.n_double),
+        (g0, g1, g2, g3, dz_b),
+        opt.factory_chunk,
+    )
 
     # ------------------------------------------------------------------
     # Phase 2: upward adding scan (radsurf_urban_sw.F90:590-654)
@@ -302,7 +315,12 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
 
     def up_step(carry, x):
         a_above, d_above = carry
-        R, T, E, Sup, Sdn, u_ov, v_ov, ralb, ralb_dir = x
+        Rf, Tf, Ef, Supf, Sdnf, u_ov, v_ov, ralb, ralb_dir = x
+        R = _unflat(Rf, nd, nd)
+        T = _unflat(Tf, nd, nd)
+        E = _unflat(Ef, nreg, nreg)
+        Sup = _unflat(Supf, nd, nreg)
+        Sdn = _unflat(Sdnf, nd, nreg)
         eye = jnp.eye(nd, dtype=dtype)
         denom = eye - matmul(a_above, R)
         # a_below/d_below for the permeable regions
@@ -326,15 +344,16 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         # Overlap to just above the interface (radsurf_urban_sw.F90:646-653)
         a_above_new = _u_mat_v(u_ov, a_below, v_ov, ns)
         d_above_new = _u_dmat_v(u_ov, d_below, v_ov, ns)
-        ys = (a_above, d_above, denom, a_below, d_below)
+        ys = (_flat(a_above), _flat(d_above), _flat(denom), _flat(a_below),
+              _flat(d_below))
         return (a_above_new, d_above_new), ys
 
     xs = (
-        lay["R"].transpose(1, 0, 2, 3, 4),
-        lay["T"].transpose(1, 0, 2, 3, 4),
-        lay["E"].transpose(1, 0, 2, 3, 4),
-        lay["Sup"].transpose(1, 0, 2, 3, 4),
-        lay["Sdn"].transpose(1, 0, 2, 3, 4),
+        lay["R"].transpose(1, 0, 2, 3),
+        lay["T"].transpose(1, 0, 2, 3),
+        lay["E"].transpose(1, 0, 2, 3),
+        lay["Sup"].transpose(1, 0, 2, 3),
+        lay["Sdn"].transpose(1, 0, 2, 3),
         geo["u_ov"].transpose(1, 0, 2, 3),
         geo["v_ov"].transpose(1, 0, 2, 3),
         roof_alb.transpose(1, 0, 2),
@@ -385,9 +404,22 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
 
         def down_step(carry, x):
             dn_dir, dn_diff, dn_dir_clear = carry
-            (R, T, E, Sdn, int_dir, int_diff, int_dir_diff, a_above, d_above,
-             denom, a_below, d_below, u_ov, v_ov, fw, fwdc, od_l, ab_coef,
-             vb_coef, wa, dz_l, aet, rfrac, nbf_l, nbfa, tdc, vfr) = x
+            (Rf, Tf, Ef, Sdnf, int_dirf, int_difff, int_dir_difff, a_abovef,
+             d_abovef, denomf, a_belowf, d_belowf, u_ov, v_ov, fw, fwdc,
+             od_l, ab_coef, vb_coef, wa, dz_l, aet, rfrac, nbf_l, nbfa, tdc,
+             vfr) = x
+            R = _unflat(Rf, nd, nd)
+            T = _unflat(Tf, nd, nd)
+            E = _unflat(Ef, nreg, nreg)
+            Sdn = _unflat(Sdnf, nd, nreg)
+            int_dir = _unflat(int_dirf, nreg, nreg)
+            int_diff = _unflat(int_difff, nd, nd)
+            int_dir_diff = _unflat(int_dir_difff, nd, nreg)
+            a_above = _unflat(a_abovef, nd, nd)
+            d_above = _unflat(d_abovef, nd, nreg)
+            denom = _unflat(denomf, nd, nd)
+            a_below = _unflat(a_belowf, (nreg + 1) * ns, (nreg + 1) * ns)
+            d_below = _unflat(d_belowf, (nreg + 1) * ns, nreg + 1)
             # Translate across the interface at layer top
             # (radsurf_urban_sw.F90:707-714)
             dn_dir_below = _ov_dirvec(v_ov, dn_dir)  # [C, S, nreg+1]
@@ -540,13 +572,13 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
             dn_dir_clear0 = jnp.ones((C,), dtype)
 
         xs_sweep = (
-            lay["R"].transpose(1, 0, 2, 3, 4),
-            lay["T"].transpose(1, 0, 2, 3, 4),
-            lay["E"].transpose(1, 0, 2, 3, 4),
-            lay["Sdn"].transpose(1, 0, 2, 3, 4),
-            lay["int_dir"].transpose(1, 0, 2, 3, 4),
-            lay["int_diff"].transpose(1, 0, 2, 3, 4),
-            lay["int_dir_diff"].transpose(1, 0, 2, 3, 4),
+            lay["R"].transpose(1, 0, 2, 3),
+            lay["T"].transpose(1, 0, 2, 3),
+            lay["E"].transpose(1, 0, 2, 3),
+            lay["Sdn"].transpose(1, 0, 2, 3),
+            lay["int_dir"].transpose(1, 0, 2, 3),
+            lay["int_diff"].transpose(1, 0, 2, 3),
+            lay["int_dir_diff"].transpose(1, 0, 2, 3),
             a_above_l, d_above_l, denom_l, a_below_l, d_below_l,
             geo["u_ov"].transpose(1, 0, 2, 3),
             geo["v_ov"].transpose(1, 0, 2, 3),
@@ -607,6 +639,37 @@ def _pad_od(od_scaling):
     if od_scaling.shape[-1] == 0:
         return jnp.zeros(od_scaling.shape[:-1] + (1,), od_scaling.dtype)
     return od_scaling
+
+
+def _flat(x):
+    """Merge the trailing matrix dims for storage: [..., n, m] -> [..., n*m].
+
+    TPU memory tiles the last TWO dims to (8, 128); storing small matrices
+    (n, m <= 24) unflattened wastes up to ~16x HBM and bandwidth.  A single
+    trailing axis of n*m pads only to the next multiple of 128.
+    """
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+def _unflat(x, n, m):
+    return x.reshape(x.shape[:-1] + (n, m))
+
+
+def _chunked_factory(fn, args, chunk: int):
+    """Run the per-layer operator factory in column chunks via lax.map to
+    bound its transient working set; outputs are returned flattened."""
+    C = jax.tree_util.tree_leaves(args)[0].shape[0]
+    if not chunk or C <= chunk or C % chunk != 0:
+        return jax.tree_util.tree_map(_flat, fn(args))
+    split = jax.tree_util.tree_map(
+        lambda x: x.reshape((C // chunk, chunk) + x.shape[1:]), args
+    )
+    out = jax.lax.map(
+        lambda a: jax.tree_util.tree_map(_flat, fn(a)), split
+    )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((C,) + x.shape[2:]), out
+    )
 
 
 # ----------------------------------------------------------------------
@@ -671,8 +734,19 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         wall_emission, lg, nreg,
     )
     dz_b = jnp.broadcast_to(inp.dz[:, :, None], (C, L, S))
-    lay = lw_layer_matrices(g1m, g2m, em["emiss_rate"], dz_b,
-                            n_double=opt.n_double)
+
+    def _lw_factory(a):
+        g1a, g2a, ema, dza = a
+        out = lw_layer_matrices(g1a, g2a, ema, dza, n_double=opt.n_double)
+        # keep vector outputs unflattened; _chunked_factory flattens the
+        # trailing TWO dims, so lift vectors to [..., n, 1] first
+        out["p"] = out["p"][..., None]
+        out["int_source"] = out["int_source"][..., None]
+        return out
+
+    lay = _chunked_factory(
+        _lw_factory, (g1m, g2m, em["emiss_rate"], dz_b), opt.factory_chunk
+    )
 
     # Emission bookkeeping (radsurf_urban_lw.F90:446-477)
     emiss_factor = 2.0 * float(np.sum(hw / mu))
@@ -725,7 +799,9 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
 
     def up_step(carry, x):
         a_above, source_above = carry
-        R, T, p, u_ov, v_ov, reps, remit, exposed = x
+        Rf, Tf, p, u_ov, v_ov, reps, remit, exposed = x
+        R = _unflat(Rf, nd, nd)
+        T = _unflat(Tf, nd, nd)
         eye = jnp.eye(nd, dtype=dtype)
         denom = eye - matmul(a_above, R)
         at = solve(denom, matmul(a_above, T))
@@ -743,12 +819,13 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         source_below = jnp.concatenate([source_below_reg, source_roof], -1)
         a_above_new = _u_mat_v(u_ov, a_below, v_ov, ns)
         source_above_new = _u_vec(u_ov, source_below, ns)
-        ys = (a_above, source_above, denom, a_below, source_below)
+        ys = (_flat(a_above), source_above, _flat(denom), _flat(a_below),
+              source_below)
         return (a_above_new, source_above_new), ys
 
     xs = (
-        lay["R"].transpose(1, 0, 2, 3, 4),
-        lay["T"].transpose(1, 0, 2, 3, 4),
+        lay["R"].transpose(1, 0, 2, 3),
+        lay["T"].transpose(1, 0, 2, 3),
         lay["p"].transpose(1, 0, 2, 3),
         geo["u_ov"].transpose(1, 0, 2, 3),
         geo["v_ov"].transpose(1, 0, 2, 3),
@@ -774,9 +851,15 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     def sweep(with_source: bool):
         def down_step(carry, x):
             dn = carry
-            (R, T, p, int_diff, int_source, a_above, source_above, denom,
-             a_below, source_below, u_ov, v_ov, fw, od_l, ab_coef, vb_coef,
-             weps, er, ea, ev, ew, dz_l) = x
+            (Rf, Tf, p, int_difff, int_source, a_abovef, source_above,
+             denomf, a_belowf, source_below, u_ov, v_ov, fw, od_l, ab_coef,
+             vb_coef, weps, er, ea, ev, ew, dz_l) = x
+            R = _unflat(Rf, nd, nd)
+            T = _unflat(Tf, nd, nd)
+            int_diff = _unflat(int_difff, nd, nd)
+            a_above = _unflat(a_abovef, nd, nd)
+            denom = _unflat(denomf, nd, nd)
+            a_below = _unflat(a_belowf, (nreg + 1) * ns, (nreg + 1) * ns)
             dn_below = _ov_vec(v_ov, dn, ns)  # [C, S, (nreg+1)ns]
             up_below = matvec(a_below, dn_below)
             if with_source:
@@ -839,10 +922,10 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
             dn0 = dn0.at[..., :ns].set(jnp.broadcast_to(hw_b, (C, S, ns)))
 
         xs_sweep = (
-            lay["R"].transpose(1, 0, 2, 3, 4),
-            lay["T"].transpose(1, 0, 2, 3, 4),
+            lay["R"].transpose(1, 0, 2, 3),
+            lay["T"].transpose(1, 0, 2, 3),
             lay["p"].transpose(1, 0, 2, 3),
-            lay["int_diff"].transpose(1, 0, 2, 3, 4),
+            lay["int_diff"].transpose(1, 0, 2, 3),
             lay["int_source"].transpose(1, 0, 2, 3),
             a_above_l, source_above_l, denom_l, a_below_l, source_below_l,
             geo["u_ov"].transpose(1, 0, 2, 3),
