@@ -37,6 +37,12 @@ def build_argparser():
         help="Working precision (double matches the reference default)",
     )
     p.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="Capture a JAX/TPU profiler trace of the solve into DIR and"
+             " print per-region wall times (the reference's Dr-Hook/"
+             "GPROF equivalents, Makefile_include.gfortran:40-43)",
+    )
+    p.add_argument(
         "--netcdf4", action="store_true",
         help="Write the output as NetCDF4/HDF5 via the native libnetcdf"
              " backend (default: NetCDF3 classic, as the reference driver)",
@@ -65,15 +71,28 @@ def main(argv=None):
     import numpy as np
 
     from ..models import flux_utils
-    from ..models.dispatch import run_radsurf
+    from ..models.dispatch import TILE_NAMES, run_radsurf
     from ..models.simple_spectrum import calc_simple_spectrum_lw
+    from ..utils import profiling
     from ..utils.config import Config, DriverConfig
     from .read_input import read_input
     from .save import save_canopy_fluxes
 
+    if not os.path.exists(args.namelist):
+        print(f'*** Error: namelist file "{args.namelist}" not found',
+              file=sys.stderr)
+        return 1
+    if not os.path.exists(args.input):
+        print(f'*** Error: input file "{args.input}" not found',
+              file=sys.stderr)
+        return 1
+
     config = Config.from_namelist(args.namelist)
     driver_config = DriverConfig.from_namelist(args.namelist)
     iverbose = driver_config.iverbose
+    if args.profile:
+        profiling.enabled = True
+        profiling.start_trace(args.profile)
 
     def log(*a, level=2):
         if iverbose >= level:
@@ -84,7 +103,13 @@ def main(argv=None):
     log(f"Floating-point precision: {args.precision}")
     config.consolidate()
 
-    data = read_input(args.input, config, driver_config, verbose_print=log)
+    try:
+        with profiling.hook("read_input"):
+            data = read_input(args.input, config, driver_config,
+                              verbose_print=log)
+    except KeyError as exc:
+        print(f"*** Error reading {args.input}: {exc}", file=sys.stderr)
+        return 1
     arrays = data["arrays"]
     ncol = data["ncol"]
 
@@ -114,10 +139,18 @@ def main(argv=None):
     if config.do_lw:
         calc_simple_spectrum_lw(config, arrays)
 
+    if iverbose >= 4:
+        # Per-column representation trace (radsurf_interface.F90:126-128,
+        # 176-181 at iverbose >= 4)
+        for jcol, code in enumerate(arrays["i_representation"], start=1):
+            print(f"{jcol:5d}: {TILE_NAMES.get(int(code), '?')},"
+                  f" {int(arrays['nlay'][jcol - 1])} layers")
+
     sw_flux = lw_flux = None
     tstart = time.perf_counter()
     for _ in range(max(1, driver_config.nrepeat)):
-        result = run_radsurf(config, arrays)
+        with profiling.hook("radsurf"):
+            result = run_radsurf(config, arrays)
         if config.do_sw:
             sw_norm_dir = flux_utils.scale_flux(
                 result["sw_norm_dir"], data["top_flux_dn_direct_sw"]
@@ -151,8 +184,13 @@ def main(argv=None):
                   " downward longwave at canopy top")
             flux_utils.check_flux(result["lw_norm"], arrays, "lw_norm")
 
-    save_canopy_fluxes(args.output, config, arrays, sw_flux, lw_flux,
-                       iverbose=iverbose, is_hdf5_file=args.netcdf4)
+    with profiling.hook("save"):
+        save_canopy_fluxes(args.output, config, arrays, sw_flux, lw_flux,
+                           iverbose=iverbose, is_hdf5_file=args.netcdf4)
+    if args.profile:
+        profiling.stop_trace()
+        profiling.report()
+        log(f"Profiler trace written to {args.profile}")
     log("-----------------------------------------------------------------"
         "---------------")
     return 0

@@ -148,12 +148,14 @@ def assemble_gammas(
     ns = lg.nstream
     nd = nreg * ns
     dtype = ext_reg.dtype
-    tan_s = np.asarray(lg.tan_ang)
-    mu_s = np.asarray(lg.mu)
-    w_s = np.asarray(lg.weight)
-    vw_s = np.asarray(lg.vweight)
-    eye_s = np.eye(ns)
-    reg_eye = np.eye(nreg)
+    # All quadrature constants cast to the working dtype so float32 inputs
+    # never get promoted under jax_enable_x64
+    tan_s = np.asarray(lg.tan_ang, dtype)
+    mu_s = np.asarray(lg.mu, dtype)
+    w_s = np.asarray(lg.weight, dtype)
+    vw_s = np.asarray(lg.vweight, dtype)
+    eye_s = np.eye(ns, dtype=dtype)
+    reg_eye = np.eye(nreg, dtype=dtype)
     # mask[r, s, q, u] = delta(r, q) delta(s, u): the full-system diagonal
     diag_mask = np.asarray(
         reg_eye[:, None, :, None] * eye_s[None, :, None, :], dtype
@@ -240,9 +242,10 @@ def emission_rates(
       volume_emiss [C, L, S, nreg]  frac*ext*(1-ssa)*B per region
     """
     ns = lg.nstream
-    hw = np.asarray(lg.hweight)
-    mu = np.asarray(lg.mu)
-    vw = np.asarray(lg.vweight)
+    dtype = ext_reg.dtype
+    hw = np.asarray(lg.hweight, dtype)
+    mu = np.asarray(lg.mu, dtype)
+    vw = np.asarray(lg.vweight, dtype)
 
     volume_emiss = (
         frac[..., None, :] * ext_reg * (1.0 - ssa_reg) * planck_reg

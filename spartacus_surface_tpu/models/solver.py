@@ -247,9 +247,9 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     C, L = inp.dz.shape
     S = inp.air_ext.shape[-1]
     dtype = inp.air_ext.dtype
-    mu = np.asarray(lg.mu)
-    hw = np.asarray(lg.hweight)
-    tan_s = np.asarray(lg.tan_ang)
+    mu = np.asarray(lg.mu, dtype)
+    hw = np.asarray(lg.hweight, dtype)
+    tan_s = np.asarray(lg.tan_ang, dtype)
 
     zcos = jnp.maximum(inp.cos_sza, 1.0e-6)
     sin0 = jnp.sqrt(1.0 - zcos * zcos)
@@ -692,9 +692,9 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     C, L = inp.dz.shape
     S = inp.air_ext.shape[-1]
     dtype = inp.air_ext.dtype
-    mu = np.asarray(lg.mu)
-    hw = np.asarray(lg.hweight)
-    tan_s = np.asarray(lg.tan_ang)
+    mu = np.asarray(lg.mu, dtype)
+    hw = np.asarray(lg.hweight, dtype)
+    tan_s = np.asarray(lg.tan_ang, dtype)
     hw_b = jnp.asarray(hw, dtype)
 
     geo = _prepare_geometry(inp, opt, lg, lw=True)
