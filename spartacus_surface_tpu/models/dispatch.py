@@ -259,6 +259,12 @@ def run_radsurf(config: Config, arrays: dict):
             if not config.use_sw_direct_albedo:
                 inp.ground_albedo_dir = inp.ground_albedo
             opt = SolverOptions(**{**opt_kw, "nstream": lg_sw.nstream})
+            from ..utils.debug import debug_arrays_enabled
+
+            if debug_arrays_enabled():
+                from .solver import debug_dump_sw
+
+                debug_dump_sw(inp, opt, lg_sw)
             ndir, ndiff, sbc = spartacus_sw(
                 inp, opt, lg_sw, with_profiles=with_profiles
             )

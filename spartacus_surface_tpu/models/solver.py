@@ -214,6 +214,48 @@ def _prepare_geometry(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     )
 
 
+def debug_dump_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss):
+    """PRINT_ARRAYS equivalent: print the geometry and Gamma matrices for
+    the first column/band (cf. radsurf_forest_sw.F90:389-403)."""
+    from ..utils.debug import maybe_dump
+
+    zcos = jnp.maximum(inp.cos_sza, 1.0e-6)
+    sin0 = jnp.sqrt(1.0 - zcos * zcos)
+    geo = _prepare_geometry(inp, opt, lg, lw=False)
+    ext_reg, ssa_reg = G.region_optics_sw(
+        inp.air_ext, inp.air_ssa, inp.veg_ext, inp.veg_ssa,
+        geo["od_scaling"], opt.nreg,
+    )
+    wall_ext = (
+        1.0 - inp.wall_albedo * inp.wall_specular_frac
+        if opt.do_urban else jnp.zeros_like(inp.air_ext)
+    )
+    wall_factor = (
+        inp.wall_albedo * (1.0 - inp.wall_specular_frac)
+        if opt.do_urban else jnp.zeros_like(inp.air_ext)
+    )
+    g0, g1, g2, g3 = G.assemble_gammas(
+        ext_reg, ssa_reg, geo["f_exchange"], geo["f_wall"],
+        wall_ext, wall_factor, lg, opt.nreg,
+        cos_sza=zcos, sin_sza=sin0, tan_sza=sin0 / zcos,
+    )
+    maybe_dump("SW first column, layer 0, band 0", {
+        "frac": geo["frac"][0, 0],
+        "od_scaling": geo["od_scaling"][0, 0],
+        "f_exchange": geo["f_exchange"][0, 0],
+        "f_wall": geo["f_wall"][0, 0],
+        "norm_perim_wall": geo["norm_perim_wall"][0, 0],
+        "u_overlap": geo["u_ov"][0, 0],
+        "v_overlap": geo["v_ov"][0, 0],
+        "ext_reg": ext_reg[0, 0, 0],
+        "ssa_reg": ssa_reg[0, 0, 0],
+        "gamma0": g0[0, 0, 0],
+        "gamma1": g1[0, 0, 0],
+        "gamma2": g2[0, 0, 0],
+        "gamma3": g3[0, 0, 0],
+    })
+
+
 def _itransp(air_ext, dz):
     """Most transparent spectral interval per column
     (radsurf_urban_sw.F90:310)."""
