@@ -170,6 +170,11 @@ class SolverOptions:
     # trailing small-matrix dims to (8,128) tiles, a ~10x expansion, so
     # unchunked factories OOM beyond ~16k columns/chip).  0 = no chunking.
     factory_chunk: int = 8192
+    # Run the expm+doubling stage through the hand-written batch-in-lanes
+    # Pallas kernel (ops/pallas_layer.py) instead of the XLA path.  Also
+    # enabled globally by SPARTACUS_PALLAS=1.  The XLA path remains the
+    # reference implementation.
+    use_pallas_factory: bool = False
 
 
 # ----------------------------------------------------------------------
@@ -324,11 +329,14 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     # lay entries come back with the matrix dims FLATTENED ([C,L,S,n*m]):
     # storage/bandwidth-optimal on TPU; unflattened views are taken per
     # scan step.
-    lay = _chunked_factory(
-        lambda a: layer_matrices(*a, n_double=opt.n_double),
-        (g0, g1, g2, g3, dz_b),
-        opt.factory_chunk,
-    )
+    if _use_pallas(opt):
+        from ..ops.pallas_layer import pallas_layer_matrices
+
+        factory = lambda a: pallas_layer_matrices(*a, n_double=opt.n_double)
+    else:
+        factory = lambda a: layer_matrices(*a, n_double=opt.n_double)
+    lay = _chunked_factory(factory, (g0, g1, g2, g3, dz_b),
+                           opt.factory_chunk)
 
     # ------------------------------------------------------------------
     # Phase 2: upward adding scan (radsurf_urban_sw.F90:590-654)
@@ -681,6 +689,14 @@ def _pad_od(od_scaling):
     if od_scaling.shape[-1] == 0:
         return jnp.zeros(od_scaling.shape[:-1] + (1,), od_scaling.dtype)
     return od_scaling
+
+
+def _use_pallas(opt: SolverOptions) -> bool:
+    import os
+
+    return opt.use_pallas_factory or (
+        os.environ.get("SPARTACUS_PALLAS", "0") not in ("0", "")
+    )
 
 
 def _flat(x):

@@ -1,0 +1,623 @@
+"""Pallas TPU kernel for the per-layer operator factory.
+
+Motivation: XLA stores batched small matrices [B, n, n] with the trailing
+two dims padded to (8, 128) memory tiles — a ~10-16x HBM/bandwidth blowup
+for n <= 24 — and lowers tiny batched matmuls poorly onto the MXU.  This
+kernel flips the layout: the BATCH lives in the (8, 128) tile and the
+matrix indices become the untiled leading axis, so every elementwise and
+FMA op processes a full (8, 128) vector register of batch elements at 100%
+lane utilization, and the entire expm -> extraction -> doubling -> Schur
+chain stays resident in VMEM (one HBM read of the Gamma blocks, one HBM
+write of the operators, zero intermediate traffic).
+
+Layout: a matrix of shape (n, m) for a tile of 1024 batch elements is a
+VMEM buffer of shape [n*m, 8, 128] (row-major rows, batch as (8, 128)).
+The grid runs over batch tiles.
+
+Algorithm identical to ops/layer_matrices.py (Pade-7 expm of the scaled
+Gamma + 2^K adding-doubling + block-Schur inverse); outputs agree with the
+XLA path to float32 rounding.  Enabled via SolverOptions.use_pallas_factory
+or SPARTACUS_PALLAS=1; the XLA path remains the reference implementation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBLANES = 8
+TILE = LANES * SUBLANES  # batch elements per grid program
+
+_PADE7_B = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0,
+            56.0, 1.0)
+
+
+# ----------------------------------------------------------------------
+# In-VMEM batched linear algebra on [rows, 8, 128] buffers
+# ----------------------------------------------------------------------
+
+def _matmul(out, a, b, n, p, m, accumulate=False, scale=None):
+    """out(n x m) = a(n x p) @ b(p x m), all [rows, 8, 128] refs."""
+
+    def body_i(i, _):
+        def body_j(j, _):
+            acc = a[i * p] * b[j]  # k = 0
+            for k in range(1, p):
+                acc = acc + a[i * p + k] * b[k * m + j]
+            if scale is not None:
+                acc = acc * scale
+            if accumulate:
+                out[i * m + j] = out[i * m + j] + acc
+            else:
+                out[i * m + j] = acc
+            return 0
+
+        jax.lax.fori_loop(0, m, body_j, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n, body_i, 0)
+
+
+def _solve_inplace(a, rhs, n, m, scratch):
+    """Pivot-free in-place solve: a(n x n) X = rhs(n x m); X overwrites rhs.
+
+    `a` is DESTROYED.  `scratch` is an [1, 8, 128] buffer for reciprocals.
+    Matches the reference's pivot-free LU (radtool_matrix.F90:982-1055).
+    """
+
+    def elim_k(k, _):
+        scratch[0] = 1.0 / a[k * n + k]
+
+        def elim_i(i, _):
+            f = a[i * n + k] * scratch[0]
+
+            def upd_j(j, _):
+                a[i * n + j] = a[i * n + j] - f * a[k * n + j]
+                return 0
+
+            jax.lax.fori_loop(k + 1, n, upd_j, 0)
+
+            def upd_r(j, _):
+                rhs[i * m + j] = rhs[i * m + j] - f * rhs[k * m + j]
+                return 0
+
+            jax.lax.fori_loop(0, m, upd_r, 0)
+            return 0
+
+        jax.lax.fori_loop(k + 1, n, elim_i, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, elim_k, 0)
+
+    # Back substitution
+    def back_i(ii, _):
+        i = n - 1 - ii
+        scratch[0] = 1.0 / a[i * n + i]
+
+        def back_j(j, _):
+            acc = rhs[i * m + j]
+
+            def sub_k(k, acc):
+                return acc - a[i * n + k] * rhs[k * m + j]
+
+            acc = jax.lax.fori_loop(i + 1, n, sub_k, acc)
+            rhs[i * m + j] = acc * scratch[0]
+            return 0
+
+        jax.lax.fori_loop(0, m, back_j, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n, back_i, 0)
+
+
+def _copy(dst, src, rows):
+    def body(r, _):
+        dst[r] = src[r]
+        return 0
+
+    jax.lax.fori_loop(0, rows, body, 0)
+
+
+def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
+                  dz_ref, r_out, t_out, e_out, sup_out, sdn_out,
+                  G, F, W1, W2, W3, RT, SS, EE, rec):
+    """One batch tile: full factory minus the Schur integrals.
+
+    Scratch: G,F [N*N]; W1,W2,W3 [N*N] general workspaces; RT [4*nd*nd]
+    (R, T and two temps); SS [4*nd*ndir]; EE [2*ndir*ndir]; rec [1].
+    """
+    N = 2 * nd + ndir
+    scale_val = dz_ref[0] * (2.0 ** -float(n_double))
+
+    # ---- assemble scaled Gamma: [[-g1,-g2,-g3],[g2,g1,g3],[0,0,g0]]
+    def asm_diff(i, _):
+        def asm_j(j, _):
+            G[i * N + j] = -g1_ref[i * nd + j] * scale_val
+            G[i * N + nd + j] = -g2_ref[i * nd + j] * scale_val
+            G[(nd + i) * N + j] = g2_ref[i * nd + j] * scale_val
+            G[(nd + i) * N + nd + j] = g1_ref[i * nd + j] * scale_val
+            return 0
+
+        jax.lax.fori_loop(0, nd, asm_j, 0)
+
+        def asm_d(d, _):
+            G[i * N + 2 * nd + d] = -g3_ref[i * ndir + d] * scale_val
+            G[(nd + i) * N + 2 * nd + d] = g3_ref[i * ndir + d] * scale_val
+            return 0
+
+        jax.lax.fori_loop(0, ndir, asm_d, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, asm_diff, 0)
+
+    def asm_dir(i, _):
+        def zero_j(j, _):
+            G[(2 * nd + i) * N + j] = jnp.zeros_like(G[0])
+            return 0
+
+        jax.lax.fori_loop(0, 2 * nd, zero_j, 0)
+
+        def asm_d(d, _):
+            G[(2 * nd + i) * N + 2 * nd + d] = (
+                g0_ref[i * ndir + d] * scale_val
+            )
+            return 0
+
+        jax.lax.fori_loop(0, ndir, asm_d, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ndir, asm_dir, 0)
+
+    # ---- Pade-7 expm: F = expm(G)
+    b = _PADE7_B
+    _matmul(W1, G, G, N, N, N)          # W1 = A2
+    _matmul(W2, W1, W1, N, N, N)        # W2 = A4
+    _matmul(W3, W1, W2, N, N, N)        # W3 = A6
+    # F <- b7*A6 + b5*A4 + b3*A2 (+ b1*I); then U = G @ F  (stored in W2)
+    def poly_u(r, _):
+        F[r] = b[7] * W3[r] + b[5] * W2[r] + b[3] * W1[r]
+        return 0
+
+    jax.lax.fori_loop(0, N * N, poly_u, 0)
+
+    def diag_u(i, _):
+        F[i * N + i] = F[i * N + i] + b[1]
+        return 0
+
+    jax.lax.fori_loop(0, N, diag_u, 0)
+    _matmul(W2, G, F, N, N, N)          # W2 = U  (A4 consumed)
+    # V in W1: b6*A6 + b4*A4(!) -- A4 overwritten; recompute V from A2, A6:
+    # V = b6*A6 + b4*(A2@A2) + b2*A2 + b0*I.  Reuse W3 (A6), W1 (A2).
+    _matmul(F, W1, W1, N, N, N)         # F = A4 again
+
+    def poly_v(r, _):
+        W3[r] = b[6] * W3[r] + b[4] * F[r] + b[2] * W1[r]
+        return 0
+
+    jax.lax.fori_loop(0, N * N, poly_v, 0)
+
+    def diag_v(i, _):
+        W3[i * N + i] = W3[i * N + i] + b[0]
+        return 0
+
+    jax.lax.fori_loop(0, N, diag_v, 0)
+    # (V - U) F = (V + U):  build V-U in W1, V+U in F, solve
+    def vu(r, _):
+        W1[r] = W3[r] - W2[r]
+        F[r] = W3[r] + W2[r]
+        return 0
+
+    jax.lax.fori_loop(0, N * N, vu, 0)
+    _solve_inplace(W1, F, N, N, rec)    # F = expm(G)
+
+    # ---- thin-layer extraction
+    # X = F11^-1 [F12 | F13]  (nd x (nd + ndir))
+    m_x = nd + ndir
+
+    def cp11(i, _):
+        def cpj(j, _):
+            W1[i * nd + j] = F[i * N + j]
+            return 0
+
+        jax.lax.fori_loop(0, nd, cpj, 0)
+
+        def cpx(j, _):
+            W2[i * m_x + j] = F[i * N + nd + j]
+            return 0
+
+        jax.lax.fori_loop(0, m_x, cpx, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, cp11, 0)
+    _solve_inplace(W1, W2, nd, m_x, rec)  # W2 = X
+
+    # R = -X[:, :nd]; Sup = -X[:, nd:]
+    def thin_rs(i, _):
+        def rj(j, _):
+            RT[i * nd + j] = -W2[i * m_x + j]  # R
+            return 0
+
+        jax.lax.fori_loop(0, nd, rj, 0)
+
+        def sj(d, _):
+            SS[i * ndir + d] = -W2[i * m_x + nd + d]  # Sup
+            return 0
+
+        jax.lax.fori_loop(0, ndir, sj, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, thin_rs, 0)
+
+    # T = F22 - F21 @ X1;  Sdn = F23 - F21 @ X2
+    off_t = nd * nd  # T offset in RT
+    off_sdn = nd * ndir  # Sdn offset in SS
+
+    def thin_t2(i, _):
+        def tj(j, _):
+            acc = F[(nd + i) * N + nd + j]
+            for k in range(nd):
+                acc = acc - F[(nd + i) * N + k] * W2[k * m_x + j]
+            RT[off_t + i * nd + j] = acc
+            return 0
+
+        jax.lax.fori_loop(0, nd, tj, 0)
+
+        def sdnj(d, _):
+            acc = F[(nd + i) * N + 2 * nd + d]
+            for k in range(nd):
+                acc = acc - F[(nd + i) * N + k] * W2[k * m_x + nd + d]
+            SS[off_sdn + i * ndir + d] = acc
+            return 0
+
+        jax.lax.fori_loop(0, ndir, sdnj, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, thin_t2, 0)
+
+    # E = F33
+    def thin_e(i, _):
+        def ej(d, _):
+            EE[i * ndir + d] = F[(2 * nd + i) * N + 2 * nd + d]
+            return 0
+
+        jax.lax.fori_loop(0, ndir, ej, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ndir, thin_e, 0)
+
+    # ---- K doubling steps (combine layer with itself)
+    # Buffers: RT = [R | T | Vt | tmp]; SS = [Sup | Sdn | S_mid | SupE];
+    # EE = [E | E2]
+    off_vt = 2 * nd * nd
+    off_tmp = 3 * nd * nd
+    off_smid = 2 * nd * ndir
+    off_supe = 3 * nd * ndir
+    off_e2 = ndir * ndir
+
+    for _step in range(n_double):
+        # SupE = Sup @ E ; S_mid = Sdn + R @ SupE
+        def supe(i, _):
+            def dj(d, _):
+                acc = SS[i * ndir] * EE[d]
+                for k in range(1, ndir):
+                    acc = acc + SS[i * ndir + k] * EE[k * ndir + d]
+                SS[off_supe + i * ndir + d] = acc
+                return 0
+
+            jax.lax.fori_loop(0, ndir, dj, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, supe, 0)
+
+        def smid(i, _):
+            def dj(d, _):
+                acc = SS[off_sdn + i * ndir + d]
+                for k in range(nd):
+                    acc = acc + RT[i * nd + k] * SS[off_supe + k * ndir + d]
+                SS[off_smid + i * ndir + d] = acc
+                return 0
+
+            jax.lax.fori_loop(0, ndir, dj, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, smid, 0)
+
+        # W1 = I - R@R ; RHS W2 = [T | S_mid]  (nd x (nd+ndir))
+        def denom(i, _):
+            def dj(j, _):
+                acc = RT[i * nd] * RT[j]
+                for k in range(1, nd):
+                    acc = acc + RT[i * nd + k] * RT[k * nd + j]
+                W1[i * nd + j] = jnp.where(i == j, 1.0, 0.0) - acc
+                return 0
+
+            jax.lax.fori_loop(0, nd, dj, 0)
+
+            def rj(j, _):
+                W2[i * m_x + j] = RT[off_t + i * nd + j]
+                return 0
+
+            jax.lax.fori_loop(0, nd, rj, 0)
+
+            def sj(d, _):
+                W2[i * m_x + nd + d] = SS[off_smid + i * ndir + d]
+                return 0
+
+            jax.lax.fori_loop(0, ndir, sj, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, denom, 0)
+        _solve_inplace(W1, W2, nd, m_x, rec)  # W2 = [Vt | Vs]
+
+        # tmp = R @ Vt (for R update) and R @ Vs + SupE (for Sup update)
+        def rv(i, _):
+            def vj(j, _):
+                acc = RT[i * nd] * W2[j]
+                for k in range(1, nd):
+                    acc = acc + RT[i * nd + k] * W2[k * m_x + j]
+                RT[off_tmp + i * nd + j] = acc  # R@Vt
+                return 0
+
+            jax.lax.fori_loop(0, nd, vj, 0)
+
+            def vs(d, _):
+                acc = SS[off_supe + i * ndir + d]
+                for k in range(nd):
+                    acc = acc + RT[i * nd + k] * W2[k * m_x + nd + d]
+                # store R@Vs + SupE into W3 rows (reuse W3 as nd x ndir)
+                W3[i * ndir + d] = acc
+                return 0
+
+            jax.lax.fori_loop(0, ndir, vs, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, rv, 0)
+
+        # R_new = R + T @ (R@Vt);  Sup_new = Sup + T @ (R@Vs + SupE)
+        # T_new = T @ Vt;          Sdn_new = T @ Vs + Sdn @ E
+        def upd(i, _):
+            def rj(j, _):
+                acc = RT[i * nd + j]
+                acc_t = jnp.zeros_like(acc)
+                for k in range(nd):
+                    acc = acc + RT[off_t + i * nd + k] * RT[off_tmp + k * nd + j]
+                    acc_t = acc_t + RT[off_t + i * nd + k] * W2[k * m_x + j]
+                # write into W1 (R_new) and F (T_new) temporarily
+                W1[i * nd + j] = acc
+                F[i * nd + j] = acc_t
+                return 0
+
+            jax.lax.fori_loop(0, nd, rj, 0)
+
+            def sj(d, _):
+                acc_up = SS[i * ndir + d]
+                acc_dn = jnp.zeros_like(acc_up)
+                for k in range(nd):
+                    acc_up = acc_up + RT[off_t + i * nd + k] * W3[k * ndir + d]
+                    acc_dn = acc_dn + RT[off_t + i * nd + k] * W2[k * m_x + nd + d]
+                for k in range(ndir):
+                    acc_dn = acc_dn + SS[off_sdn + i * ndir + k] * EE[k * ndir + d]
+                # stash in W3 upper region (reuse rows nd*ndir..)
+                W3[nd * ndir + i * ndir + d] = acc_up
+                W3[2 * nd * ndir + i * ndir + d] = acc_dn
+                return 0
+
+            jax.lax.fori_loop(0, ndir, sj, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, upd, 0)
+
+        # E_new = E @ E
+        def enew(i, _):
+            def ej(d, _):
+                acc = EE[i * ndir] * EE[d]
+                for k in range(1, ndir):
+                    acc = acc + EE[i * ndir + k] * EE[k * ndir + d]
+                EE[off_e2 + i * ndir + d] = acc
+                return 0
+
+            jax.lax.fori_loop(0, ndir, ej, 0)
+            return 0
+
+        jax.lax.fori_loop(0, ndir, enew, 0)
+
+        # commit
+        def commit(i, _):
+            def cj(j, _):
+                RT[i * nd + j] = W1[i * nd + j]
+                RT[off_t + i * nd + j] = F[i * nd + j]
+                return 0
+
+            jax.lax.fori_loop(0, nd, cj, 0)
+
+            def cs(d, _):
+                SS[i * ndir + d] = W3[nd * ndir + i * ndir + d]
+                SS[off_sdn + i * ndir + d] = W3[2 * nd * ndir + i * ndir + d]
+                return 0
+
+            jax.lax.fori_loop(0, ndir, cs, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, commit, 0)
+
+        def commit_e(i, _):
+            def ce(d, _):
+                EE[i * ndir + d] = EE[off_e2 + i * ndir + d]
+                return 0
+
+            jax.lax.fori_loop(0, ndir, ce, 0)
+            return 0
+
+        jax.lax.fori_loop(0, ndir, commit_e, 0)
+
+    # ---- write outputs
+    _copy(r_out, RT, nd * nd)
+
+    def wt(r, _):
+        t_out[r] = RT[off_t + r]
+        return 0
+
+    jax.lax.fori_loop(0, nd * nd, wt, 0)
+    _copy(e_out, EE, ndir * ndir)
+    _copy(sup_out, SS, nd * ndir)
+
+    def wsdn(r, _):
+        sdn_out[r] = SS[off_sdn + r]
+        return 0
+
+    jax.lax.fori_loop(0, nd * ndir, wsdn, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nd", "ndir", "n_double", "interpret")
+)
+def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
+                             nd: int, ndir: int, n_double: int = 12,
+                             interpret: bool = False):
+    """R/T/E/Sup/Sdn via the Pallas factory (no Schur integrals).
+
+    Inputs flattened+batched: gamma1/gamma2 [B, nd*nd], gamma3 [B, nd*ndir],
+    gamma0 [B, ndir*ndir], dz [B].  B must be a multiple of 1024.
+    Returns dict of flattened outputs [B, n*m].
+    """
+    B = gamma1.shape[0]
+    assert B % TILE == 0, f"batch {B} not a multiple of {TILE}"
+    nb = B // TILE
+    N = 2 * nd + ndir
+    dtype = gamma1.dtype
+
+    def resh(x, rows):
+        # [B, rows] -> [nb, rows, 8, 128]
+        return (
+            x.reshape(nb, SUBLANES, LANES, rows)
+            .transpose(0, 3, 1, 2)
+        )
+
+    def unresh(y, rows):
+        # [nb, rows, 8, 128] -> [B, rows]
+        return y.transpose(0, 2, 3, 1).reshape(B, rows)
+
+    args = (
+        resh(gamma0, ndir * ndir),
+        resh(gamma1, nd * nd),
+        resh(gamma2, nd * nd),
+        resh(gamma3, nd * ndir),
+        resh(dz[:, None], 1),
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((nb, nd * nd, SUBLANES, LANES), dtype),  # R
+        jax.ShapeDtypeStruct((nb, nd * nd, SUBLANES, LANES), dtype),  # T
+        jax.ShapeDtypeStruct((nb, ndir * ndir, SUBLANES, LANES), dtype),  # E
+        jax.ShapeDtypeStruct((nb, nd * ndir, SUBLANES, LANES), dtype),  # Sup
+        jax.ShapeDtypeStruct((nb, nd * ndir, SUBLANES, LANES), dtype),  # Sdn
+    ]
+
+    def spec(rows):
+        # Leading grid dim squeezed out of the in-kernel ref shape
+        return pl.BlockSpec((None, rows, SUBLANES, LANES),
+                            lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    scratch = [
+        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # G
+        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # F
+        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # W1
+        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # W2
+        pltpu.VMEM((max(N * N, 3 * nd * ndir), SUBLANES, LANES), dtype),  # W3
+        pltpu.VMEM((4 * nd * nd, SUBLANES, LANES), dtype),  # RT
+        pltpu.VMEM((4 * nd * ndir, SUBLANES, LANES), dtype),  # SS
+        pltpu.VMEM((2 * ndir * ndir, SUBLANES, LANES), dtype),  # EE
+        pltpu.VMEM((1, SUBLANES, LANES), dtype),  # rec
+    ]
+
+    def kernel(g0r, g1r, g2r, g3r, dzr, ro, to, eo, supo, sdno,
+               G, F, W1, W2, W3, RT, SS, EE, rec):
+        _layer_kernel(
+            nd, ndir, n_double,
+            g0r, g1r, g2r, g3r, dzr,
+            ro, to, eo, supo, sdno,
+            G, F, W1, W2, W3, RT, SS, EE, rec,
+        )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            spec(ndir * ndir), spec(nd * nd), spec(nd * nd),
+            spec(nd * ndir), spec(1),
+        ],
+        out_specs=tuple(
+            spec(rows) for rows in
+            (nd * nd, nd * nd, ndir * ndir, nd * ndir, nd * ndir)
+        ),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+
+    names = ("R", "T", "E", "Sup", "Sdn")
+    rows = (nd * nd, nd * nd, ndir * ndir, nd * ndir, nd * ndir)
+    return {k: unresh(v, r) for k, v, r in zip(names, outs, rows)}
+
+
+def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,
+                          n_double: int = 12, with_int: bool = True,
+                          interpret: bool = False):
+    """Drop-in replacement for ops.layer_matrices.layer_matrices using the
+    Pallas factory for the expensive expm+doubling stage (the Schur
+    integral matrices are a handful of nd-sized solves and stay on the XLA
+    path).  Accepts the same [..., n, m] batched inputs; the batch is
+    flattened and padded to a multiple of the kernel tile with identity
+    layers (gamma = -I, dz = 0 => F = I)."""
+    from .matrix import inv, matmul, solve
+
+    batch_shape = gamma1.shape[:-2]
+    nd = gamma1.shape[-1]
+    ndir = gamma0.shape[-1]
+    B = int(np.prod(batch_shape)) if batch_shape else 1
+    dtype = gamma1.dtype
+
+    pad = (-B) % TILE
+    def prep(x, n, m):
+        flat = jnp.reshape(x, (B, n * m))
+        if pad:
+            eye = jnp.broadcast_to(
+                (-jnp.eye(n, m, dtype=dtype)).reshape(1, n * m),
+                (pad, n * m),
+            )
+            flat = jnp.concatenate([flat, eye], axis=0)
+        return flat
+
+    dz_flat = jnp.reshape(jnp.broadcast_to(dz, batch_shape), (B,))
+    if pad:
+        dz_flat = jnp.concatenate(
+            [dz_flat, jnp.zeros((pad,), dtype)], axis=0
+        )
+    out = pallas_layer_thin_double(
+        prep(gamma0, ndir, ndir), prep(gamma1, nd, nd),
+        prep(gamma2, nd, nd), prep(gamma3, nd, ndir), dz_flat,
+        nd=nd, ndir=ndir, n_double=n_double, interpret=interpret,
+    )
+    lay = {}
+    for key, (n, m) in (("R", (nd, nd)), ("T", (nd, nd)),
+                        ("E", (ndir, ndir)), ("Sup", (nd, ndir)),
+                        ("Sdn", (nd, ndir))):
+        lay[key] = out[key][:B].reshape(batch_shape + (n, m))
+    if with_int:
+        # Block-Schur Gamma inverse (radtool/radtool_schur.F90:45-51)
+        g1_inv_g2 = solve(gamma1, gamma2)
+        g1i = inv(gamma1 - matmul(gamma2, g1_inv_g2))
+        g2i = matmul(g1i, matmul(gamma2, inv(gamma1)))
+        lay["int_diff"] = g2i - g1i
+        g0i = inv(gamma0)
+        g3i = matmul(g1i - g2i, matmul(gamma3, g0i))
+        lay["int_dir"] = -g0i
+        lay["int_dir_diff"] = 2.0 * g3i
+    return lay

@@ -1,0 +1,65 @@
+"""Pallas layer-factory kernel vs the XLA reference path.
+
+Runs in interpreter mode on CPU (conftest pins the cpu backend); on real
+TPU hardware the kernel Mosaic-compiles and agrees to f32 accumulation
+accuracy (validated manually on a v5e chip, see ops/pallas_layer.py).
+"""
+
+import numpy as np
+import pytest
+
+from spartacus_surface_tpu.ops.layer_matrices import layer_matrices
+from spartacus_surface_tpu.ops.pallas_layer import (
+    TILE, pallas_layer_matrices, pallas_layer_thin_double)
+from tests.test_layer_matrices import make_gammas
+
+
+@pytest.mark.parametrize("ns,nreg", [(4, 2), (2, 1)])
+def test_pallas_matches_xla(ns, nreg):
+    rng = np.random.default_rng(3)
+    nd, ndir = ns * nreg, nreg
+    B = TILE
+    g0 = np.empty((B, ndir, ndir), np.float32)
+    g1 = np.empty((B, nd, nd), np.float32)
+    g2 = np.empty((B, nd, nd), np.float32)
+    g3 = np.empty((B, nd, ndir), np.float32)
+    for i in range(4):
+        a0, a1, a2, a3 = make_gammas(rng, ns, nreg)
+        g0[i::4], g1[i::4], g2[i::4], g3[i::4] = a0, a1, a2, a3
+    dz = np.full(B, 1.3, np.float32)
+
+    ref = layer_matrices(g0, g1, g2, g3, dz, n_double=6, with_int=False)
+    got = pallas_layer_thin_double(
+        g0.reshape(B, -1), g1.reshape(B, -1), g2.reshape(B, -1),
+        g3.reshape(B, -1), dz, nd=nd, ndir=ndir, n_double=6, interpret=True,
+    )
+    for key in ("R", "T", "E", "Sup", "Sdn"):
+        r = np.asarray(ref[key]).reshape(B, -1)
+        g = np.asarray(got[key])
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-5, err_msg=key)
+
+
+def test_pallas_wrapper_pads_batch():
+    """Non-TILE-multiple batch: identity padding must not disturb results."""
+    rng = np.random.default_rng(9)
+    ns, nreg = 2, 2
+    nd, ndir = ns * nreg, nreg
+    B = 37  # deliberately awkward
+    g0 = np.empty((B, ndir, ndir), np.float32)
+    g1 = np.empty((B, nd, nd), np.float32)
+    g2 = np.empty((B, nd, nd), np.float32)
+    g3 = np.empty((B, nd, ndir), np.float32)
+    for i in range(B):
+        a0, a1, a2, a3 = make_gammas(rng, ns, nreg)
+        g0[i], g1[i], g2[i], g3[i] = a0, a1, a2, a3
+    dz = np.full(B, 0.8, np.float32)
+
+    ref = layer_matrices(g0, g1, g2, g3, dz, n_double=4)
+    got = pallas_layer_matrices(g0, g1, g2, g3, dz, n_double=4,
+                                interpret=True)
+    for key in ("R", "T", "E", "Sup", "Sdn", "int_diff", "int_dir",
+                "int_dir_diff"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]),
+            rtol=2e-4, atol=2e-5, err_msg=key,
+        )
