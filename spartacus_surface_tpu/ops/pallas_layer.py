@@ -569,7 +569,7 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
 
 def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,
                           n_double: int = 12, with_int: bool = True,
-                          interpret: bool = False):
+                          interpret: bool | None = None):
     """Drop-in replacement for ops.layer_matrices.layer_matrices using the
     Pallas factory for the expensive expm+doubling stage (the Schur
     integral matrices are a handful of nd-sized solves and stay on the XLA
@@ -578,6 +578,9 @@ def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,
     layers (gamma = -I, dz = 0 => F = I)."""
     from .matrix import inv, matmul, solve
 
+    if interpret is None:
+        # Mosaic needs a real TPU; fall back to the interpreter elsewhere
+        interpret = jax.default_backend() != "tpu"
     batch_shape = gamma1.shape[:-2]
     nd = gamma1.shape[-1]
     ndir = gamma0.shape[-1]

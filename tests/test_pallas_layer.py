@@ -63,3 +63,31 @@ def test_pallas_wrapper_pads_batch():
             np.asarray(got[key]), np.asarray(ref[key]),
             rtol=2e-4, atol=2e-5, err_msg=key,
         )
+
+
+def test_solver_with_pallas_factory():
+    """The full SW solver with the Pallas factory enabled conserves energy
+    and matches the XLA-factory solver (f32 accumulation differences)."""
+    from spartacus_surface_tpu.models.solver import (
+        SolverOptions, spartacus_sw)
+    from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
+    from tests.test_solver_conservation import make_inputs, residual_sw
+    import jax
+
+    rng = np.random.default_rng(55)
+    inp = make_inputs(rng, C=2, L=2, S=1, urban=True)
+    inp = jax.tree_util.tree_map(
+        lambda x: None if x is None else np.asarray(x, np.float32), inp
+    )
+    lg = LegendreGauss(2)
+    kw = dict(nreg=2, nstream=2, do_urban=True, n_double=6)
+    ref_d, ref_f, ref_bc = spartacus_sw(
+        inp, SolverOptions(**kw), lg)
+    pal_d, pal_f, pal_bc = spartacus_sw(
+        inp, SolverOptions(**kw, use_pallas_factory=True), lg)
+    assert np.abs(residual_sw(pal_d)).max() < 2e-4
+    for key in ("ground_dn", "top_net", "wall_net"):
+        np.testing.assert_allclose(
+            np.asarray(pal_d[key]), np.asarray(ref_d[key]),
+            rtol=3e-4, atol=3e-5, err_msg=key,
+        )
