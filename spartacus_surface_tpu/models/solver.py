@@ -793,9 +793,16 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     )
     dz_b = jnp.broadcast_to(inp.dz[:, :, None], (C, L, S))
 
+    if _use_pallas(opt):
+        from ..ops.pallas_layer import pallas_lw_layer_matrices
+
+        lw_factory_fn = pallas_lw_layer_matrices
+    else:
+        lw_factory_fn = lw_layer_matrices
+
     def _lw_factory(a):
         g1a, g2a, ema, dza = a
-        out = lw_layer_matrices(g1a, g2a, ema, dza, n_double=opt.n_double)
+        out = lw_factory_fn(g1a, g2a, ema, dza, n_double=opt.n_double)
         # keep vector outputs unflattened; _chunked_factory flattens the
         # trailing TWO dims, so lift vectors to [..., n, 1] first
         out["p"] = out["p"][..., None]

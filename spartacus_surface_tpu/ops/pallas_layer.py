@@ -124,10 +124,152 @@ def _copy(dst, src, rows):
     jax.lax.fori_loop(0, rows, body, 0)
 
 
+def _eye_fill(buf, n, rec):
+    """buf(n x n) = I (rows of [8,128] blocks)."""
+
+    def bi(i, _):
+        def bj(j, _):
+            buf[i * n + j] = jnp.zeros_like(rec[0]) + jnp.where(
+                i == j, 1.0, 0.0
+            )
+            return 0
+
+        jax.lax.fori_loop(0, n, bj, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n, bi, 0)
+
+
+def _schur_int_kernel(nd, ndir, int_direct, g0_ref, g1_ref, g2_ref, g3_ref,
+                      idiff_out, idir_out, idirdiff_out, G, F, W1, W2, W3,
+                      rec):
+    """Block-Schur Gamma-inverse integral matrices, in VMEM
+    (parity: radtool/radtool_schur.F90:45-51).
+
+    Uses G/F/W1/W2/W3 as nd*nd workspaces (all >= nd*nd rows)."""
+
+    def cp_from(dst, src_ref, rows):
+        def b(r, _):
+            dst[r] = src_ref[r]
+            return 0
+
+        jax.lax.fori_loop(0, rows, b, 0)
+
+    # W2 = inv(g1):  W1 <- g1 (destroyed), W2 <- I
+    cp_from(W1, g1_ref, nd * nd)
+    _eye_fill(W2, nd, rec)
+    _solve_inplace(W1, W2, nd, nd, rec)
+    # G <- inv(g1) @ g2 ; F <- g2 @ inv(g1)
+    def mm_ref_r(out, a_buf, b_ref, n):
+        def bi(i, _):
+            def bj(j, _):
+                acc = a_buf[i * n] * b_ref[j]
+                for k in range(1, n):
+                    acc = acc + a_buf[i * n + k] * b_ref[k * n + j]
+                out[i * n + j] = acc
+                return 0
+
+            jax.lax.fori_loop(0, n, bj, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n, bi, 0)
+
+    def mm_ref_l(out, a_ref, b_buf, n):
+        def bi(i, _):
+            def bj(j, _):
+                acc = a_ref[i * n] * b_buf[j]
+                for k in range(1, n):
+                    acc = acc + a_ref[i * n + k] * b_buf[k * n + j]
+                out[i * n + j] = acc
+                return 0
+
+            jax.lax.fori_loop(0, n, bj, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n, bi, 0)
+
+    mm_ref_r(G, W2, g2_ref, nd)  # G = inv(g1) @ g2
+    mm_ref_l(F, g2_ref, W2, nd)  # F = g2 @ inv(g1)
+    # W1 = g1 - g2 @ G  (Schur complement)
+    def schur_m(i, _):
+        def bj(j, _):
+            acc = g1_ref[i * nd + j]
+            for k in range(nd):
+                acc = acc - g2_ref[i * nd + k] * G[k * nd + j]
+            W1[i * nd + j] = acc
+            return 0
+
+        jax.lax.fori_loop(0, nd, bj, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, schur_m, 0)
+    # W3 = g1i = inv(W1)
+    _eye_fill(W3, nd, rec)
+    _solve_inplace(W1, W3, nd, nd, rec)
+    # G <- g2i = g1i @ F ; int_diff = g2i - g1i
+    _matmul(G, W3, F, nd, nd, nd)
+
+    def w_idiff(r, _):
+        idiff_out[r] = G[r] - W3[r]
+        return 0
+
+    jax.lax.fori_loop(0, nd * nd, w_idiff, 0)
+
+    if int_direct:
+        # W1 <- g0 (destroyed), W2 <- g0i = inv(g0); int_dir = -g0i
+        cp_from(W1, g0_ref, ndir * ndir)
+        _eye_fill(W2, ndir, rec)
+        _solve_inplace(W1, W2, ndir, ndir, rec)
+
+        def w_idir(r, _):
+            idir_out[r] = -W2[r]
+            return 0
+
+        jax.lax.fori_loop(0, ndir * ndir, w_idir, 0)
+        # F <- g3 @ g0i (nd x ndir); int_dir_diff = 2 (g1i - g2i) @ F
+        def g3g0i(i, _):
+            def bd(d, _):
+                acc = g3_ref[i * ndir] * W2[d]
+                for k in range(1, ndir):
+                    acc = acc + g3_ref[i * ndir + k] * W2[k * ndir + d]
+                F[i * ndir + d] = acc
+                return 0
+
+            jax.lax.fori_loop(0, ndir, bd, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, g3g0i, 0)
+
+        def w_idd(i, _):
+            def bd(d, _):
+                acc = jnp.zeros_like(rec[0])
+                for k in range(nd):
+                    acc = acc + (W3[i * nd + k] - G[i * nd + k]) * F[k * ndir + d]
+                idirdiff_out[i * ndir + d] = 2.0 * acc
+                return 0
+
+            jax.lax.fori_loop(0, ndir, bd, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nd, w_idd, 0)
+    else:
+        def z_idir(r, _):
+            idir_out[r] = jnp.zeros_like(rec[0])
+            return 0
+
+        jax.lax.fori_loop(0, ndir * ndir, z_idir, 0)
+
+        def z_idd(r, _):
+            idirdiff_out[r] = jnp.zeros_like(rec[0])
+            return 0
+
+        jax.lax.fori_loop(0, nd * ndir, z_idd, 0)
+
+
 def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
                   dz_ref, r_out, t_out, e_out, sup_out, sdn_out,
                   G, F, W1, W2, W3, RT, SS, EE, rec):
-    """One batch tile: full factory minus the Schur integrals.
+    """One batch tile: expm + thin extraction + doubling.
 
     Scratch: G,F [N*N]; W1,W2,W3 [N*N] general workspaces; RT [4*nd*nd]
     (R, T and two temps); SS [4*nd*ndir]; EE [2*ndir*ndir]; rec [1].
@@ -475,12 +617,16 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nd", "ndir", "n_double", "interpret")
+    jax.jit,
+    static_argnames=("nd", "ndir", "n_double", "interpret", "with_int",
+                     "int_direct"),
 )
 def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
                              nd: int, ndir: int, n_double: int = 12,
-                             interpret: bool = False):
-    """R/T/E/Sup/Sdn via the Pallas factory (no Schur integrals).
+                             interpret: bool = False, with_int: bool = False,
+                             int_direct: bool = True):
+    """R/T/E/Sup/Sdn (+ optional Schur integral matrices) via the Pallas
+    factory.
 
     Inputs flattened+batched: gamma1/gamma2 [B, nd*nd], gamma3 [B, nd*ndir],
     gamma0 [B, ndir*ndir], dz [B].  B must be a multiple of 1024.
@@ -511,12 +657,15 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
         resh(dz[:, None], 1),
     )
 
+    names = ["R", "T", "E", "Sup", "Sdn"]
+    rows_list = [nd * nd, nd * nd, ndir * ndir, nd * ndir, nd * ndir]
+    if with_int:
+        names += ["int_diff", "int_dir", "int_dir_diff"]
+        rows_list += [nd * nd, ndir * ndir, nd * ndir]
+
     out_shapes = [
-        jax.ShapeDtypeStruct((nb, nd * nd, SUBLANES, LANES), dtype),  # R
-        jax.ShapeDtypeStruct((nb, nd * nd, SUBLANES, LANES), dtype),  # T
-        jax.ShapeDtypeStruct((nb, ndir * ndir, SUBLANES, LANES), dtype),  # E
-        jax.ShapeDtypeStruct((nb, nd * ndir, SUBLANES, LANES), dtype),  # Sup
-        jax.ShapeDtypeStruct((nb, nd * ndir, SUBLANES, LANES), dtype),  # Sdn
+        jax.ShapeDtypeStruct((nb, rows, SUBLANES, LANES), dtype)
+        for rows in rows_list
     ]
 
     def spec(rows):
@@ -537,14 +686,22 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
         pltpu.VMEM((1, SUBLANES, LANES), dtype),  # rec
     ]
 
-    def kernel(g0r, g1r, g2r, g3r, dzr, ro, to, eo, supo, sdno,
-               G, F, W1, W2, W3, RT, SS, EE, rec):
+    def kernel(g0r, g1r, g2r, g3r, dzr, *rest):
+        outs_refs = rest[: len(rows_list)]
+        G, F, W1, W2, W3, RT, SS, EE, rec = rest[len(rows_list):]
+        ro, to, eo, supo, sdno = outs_refs[:5]
         _layer_kernel(
             nd, ndir, n_double,
             g0r, g1r, g2r, g3r, dzr,
             ro, to, eo, supo, sdno,
             G, F, W1, W2, W3, RT, SS, EE, rec,
         )
+        if with_int:
+            idiff, idir, idd = outs_refs[5:]
+            _schur_int_kernel(
+                nd, ndir, int_direct, g0r, g1r, g2r, g3r,
+                idiff, idir, idd, G, F, W1, W2, W3, rec,
+            )
 
     outs = pl.pallas_call(
         kernel,
@@ -553,31 +710,24 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
             spec(ndir * ndir), spec(nd * nd), spec(nd * nd),
             spec(nd * ndir), spec(1),
         ],
-        out_specs=tuple(
-            spec(rows) for rows in
-            (nd * nd, nd * nd, ndir * ndir, nd * ndir, nd * ndir)
-        ),
+        out_specs=tuple(spec(rows) for rows in rows_list),
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*args)
 
-    names = ("R", "T", "E", "Sup", "Sdn")
-    rows = (nd * nd, nd * nd, ndir * ndir, nd * ndir, nd * ndir)
-    return {k: unresh(v, r) for k, v, r in zip(names, outs, rows)}
+    return {k: unresh(v, r) for k, v, r in zip(names, outs, rows_list)}
 
 
 def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,
                           n_double: int = 12, with_int: bool = True,
+                          int_direct: bool = True,
                           interpret: bool | None = None):
-    """Drop-in replacement for ops.layer_matrices.layer_matrices using the
-    Pallas factory for the expensive expm+doubling stage (the Schur
-    integral matrices are a handful of nd-sized solves and stay on the XLA
-    path).  Accepts the same [..., n, m] batched inputs; the batch is
-    flattened and padded to a multiple of the kernel tile with identity
-    layers (gamma = -I, dz = 0 => F = I)."""
-    from .matrix import inv, matmul, solve
-
+    """Drop-in replacement for ops.layer_matrices.layer_matrices, fully
+    in-kernel (expm + doubling + block-Schur integral matrices).  Accepts
+    the same [..., n, m] batched inputs; the batch is flattened and padded
+    to a multiple of the kernel tile with identity layers
+    (gamma = -I, dz = 0 => F = I)."""
     if interpret is None:
         # Mosaic needs a real TPU; fall back to the interpreter elsewhere
         interpret = jax.default_backend() != "tpu"
@@ -607,20 +757,41 @@ def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,
         prep(gamma0, ndir, ndir), prep(gamma1, nd, nd),
         prep(gamma2, nd, nd), prep(gamma3, nd, ndir), dz_flat,
         nd=nd, ndir=ndir, n_double=n_double, interpret=interpret,
+        with_int=with_int, int_direct=int_direct,
     )
-    lay = {}
-    for key, (n, m) in (("R", (nd, nd)), ("T", (nd, nd)),
-                        ("E", (ndir, ndir)), ("Sup", (nd, ndir)),
-                        ("Sdn", (nd, ndir))):
-        lay[key] = out[key][:B].reshape(batch_shape + (n, m))
+    shapes = {"R": (nd, nd), "T": (nd, nd), "E": (ndir, ndir),
+              "Sup": (nd, ndir), "Sdn": (nd, ndir)}
     if with_int:
-        # Block-Schur Gamma inverse (radtool/radtool_schur.F90:45-51)
-        g1_inv_g2 = solve(gamma1, gamma2)
-        g1i = inv(gamma1 - matmul(gamma2, g1_inv_g2))
-        g2i = matmul(g1i, matmul(gamma2, inv(gamma1)))
-        lay["int_diff"] = g2i - g1i
-        g0i = inv(gamma0)
-        g3i = matmul(g1i - g2i, matmul(gamma3, g0i))
-        lay["int_dir"] = -g0i
-        lay["int_dir_diff"] = 2.0 * g3i
+        shapes.update({"int_diff": (nd, nd), "int_dir": (ndir, ndir),
+                       "int_dir_diff": (nd, ndir)})
+    lay = {
+        key: out[key][:B].reshape(batch_shape + nm)
+        for key, nm in shapes.items()
+    }
+    if with_int and not int_direct:
+        lay.pop("int_dir")
+        lay.pop("int_dir_diff")
     return lay
+
+
+def pallas_lw_layer_matrices(gamma1, gamma2, emiss_rate, dz, *,
+                             n_double: int = 12, interpret: bool | None = None):
+    """Drop-in replacement for ops.layer_matrices.lw_layer_matrices: the
+    emission pseudo-beam (ndir=1, gamma0=0, gamma3=b) runs through the
+    Pallas factory, including the in-kernel int_diff (the direct-beam
+    integrals are skipped: gamma0 = 0 is singular)."""
+    batch_shape = gamma1.shape[:-2]
+    gamma0 = jnp.zeros(batch_shape + (1, 1), gamma1.dtype)
+    gamma3 = emiss_rate[..., :, None]
+    lay = pallas_layer_matrices(
+        gamma0, gamma1, gamma2, gamma3, dz,
+        n_double=n_double, with_int=True, int_direct=False,
+        interpret=interpret,
+    )
+    p = 0.5 * (lay["Sup"][..., 0] + lay["Sdn"][..., 0])
+    int_source = 2.0 * jnp.einsum(
+        "...nk,...k->...n", lay["int_diff"], emiss_rate,
+        precision="highest",
+    ) * jnp.asarray(dz, gamma1.dtype)[..., None]
+    return {"R": lay["R"], "T": lay["T"], "p": p,
+            "int_diff": lay["int_diff"], "int_source": int_source}
