@@ -31,8 +31,11 @@ import time
 import numpy as np
 
 # Round-1 single-chip baseline (TPU v5e, this workload), columns/sec: the
-# first honest full-solver measurement (see BASELINE.md).
-ROUND1_BASELINE_COLS_PER_SEC = 26.8e6
+# first honest full-solver measurement — XLA factory path, differential
+# in-jit timing validated against a known-FLOPs matmul chain (150 TFLOP/s
+# on the same methodology; see BASELINE.md).  Earlier 26.8M/34.8M figures
+# were relay artifacts and are retracted in BASELINE.md.
+ROUND1_BASELINE_COLS_PER_SEC = 7.0e3
 
 
 def main():
