@@ -177,6 +177,12 @@ class SolverOptions:
     # SPARTACUS_PALLAS=1/0 force-overrides.  The XLA path remains the
     # reference implementation.
     use_pallas_factory: bool | None = None
+    # Run the adding-method up-sweep and flux down-sweeps through the
+    # batch-in-lanes Pallas kernels (ops/pallas_sweep.py) instead of the
+    # XLA lax.scan path.  None = auto (same policy as the factory, plus a
+    # VMEM-footprint guard on the system size).  SPARTACUS_PALLAS_SWEEPS=1/0
+    # force-overrides.
+    use_pallas_sweeps: bool | None = None
 
 
 # ----------------------------------------------------------------------
@@ -339,6 +345,11 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         factory = lambda a: layer_matrices(*a, n_double=opt.n_double)
     lay = _chunked_factory(factory, (g0, g1, g2, g3, dz_b),
                            opt.factory_chunk)
+
+    if _use_pallas_sweeps(opt, lg):
+        return _sw_pallas_path(
+            inp, opt, lg, geo, lay, zcos, sin0, with_profiles
+        )
 
     # ------------------------------------------------------------------
     # Phase 2: upward adding scan (radsurf_urban_sw.F90:590-654)
@@ -709,6 +720,23 @@ def _use_pallas(opt: SolverOptions) -> bool:
     return opt.use_pallas_factory
 
 
+def _use_pallas_sweeps(opt: SolverOptions, lg: LegendreGauss) -> bool:
+    import os
+
+    env = os.environ.get("SPARTACUS_PALLAS_SWEEPS", "")
+    if env != "":
+        return env != "0"
+    if opt.use_pallas_sweeps is None:
+        # Auto: real-TPU f32 only, and bound the VMEM footprint — the
+        # a_below buffer is ((nreg+1)*ns)^2 rows of (8,128) tiles.
+        return (
+            jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64
+            and (opt.nreg + 1) * lg.nstream <= 16
+        )
+    return opt.use_pallas_sweeps
+
+
 def _flat(x):
     """Merge the trailing matrix dims for storage: [..., n, m] -> [..., n*m].
 
@@ -738,6 +766,334 @@ def _chunked_factory(fn, args, chunk: int):
     return jax.tree_util.tree_map(
         lambda x: x.reshape((C,) + x.shape[2:]), out
     )
+
+
+# ----------------------------------------------------------------------
+# Pallas sweep path: phases 2+3 through ops/pallas_sweep.py kernels.
+# Same math as the lax.scan path above; the clear-sky direct recurrence
+# and sunlit fractions are evaluated in closed form (cumulative products
+# over layers) instead of inside the scan.
+# ----------------------------------------------------------------------
+
+def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
+                    geo, lay, zcos, sin0, with_profiles):
+    from ..ops import pallas_sweep as PS
+
+    nreg, ns = opt.nreg, lg.nstream
+    nd = nreg * ns
+    C, L = inp.dz.shape
+    S = inp.air_ext.shape[-1]
+    B = C * S
+    dtype = inp.air_ext.dtype
+    hw = tuple(float(x) for x in lg.hweight)
+    rmu = tuple(1.0 / float(x) for x in lg.mu)
+    rtan = tuple(float(x) for x in lg.tan_ang)
+    pad = (-B) % PS.TILE
+    interp = jax.default_backend() != "tpu"
+
+    def bl(x):
+        """[C, L, S, rows] -> [B(+pad), L, rows]."""
+        x = x.transpose(0, 2, 1, 3).reshape(B, L, x.shape[-1])
+        return PS._pad_b(x, pad)
+
+    def bls(x):
+        """[C, L, S] -> [B(+pad), L, 1]."""
+        return bl(x[..., None])
+
+    def blc(x):
+        """Per-column [C, L, rows] -> broadcast over S -> [B(+pad), L, rows]."""
+        rows = x.shape[-1]
+        x = jnp.broadcast_to(x[:, None], (C, S, L, rows)).reshape(B, L, rows)
+        return PS._pad_b(x, pad)
+
+    def bv(x, pad_value=0.0):
+        """[C, S, rows] -> [B(+pad), rows]."""
+        return PS._pad_b(x.reshape(B, x.shape[-1]), pad, pad_value)
+
+    galb = inp.ground_albedo
+    galb_dir = inp.ground_albedo_dir
+    roof_alb = (
+        inp.roof_albedo if opt.do_urban else jnp.zeros((C, L, S), dtype)
+    )
+    roof_alb_dir = (
+        inp.roof_albedo_dir if opt.do_urban else jnp.zeros((C, L, S), dtype)
+    )
+    zcos_cs = jnp.broadcast_to(zcos[:, None], (C, S))
+    grd_up = bv(jnp.stack([galb, galb_dir, zcos_cs], axis=-1), 1.0)
+    uov = blc(_flat(geo["u_ov"]))
+    vov = blc(_flat(geo["v_ov"]))
+
+    stacks, top = PS.sw_up_sweep(
+        bl(lay["R"]), bl(lay["T"]), bl(lay["E"]), bl(lay["Sup"]),
+        bl(lay["Sdn"]), uov, vov, bls(roof_alb), bls(roof_alb_dir), grd_up,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, interpret=interp,
+    )
+    a_top = top[:B, : nd * nd].reshape(C, S, nd, nd)
+    d_top = top[:B, nd * nd:].reshape(C, S, nd, nreg)
+    hw_b = jnp.asarray(np.asarray(lg.hweight, dtype))
+    top_albedo_diff = jnp.einsum(
+        "csij,j->cs", a_top[..., :ns, :ns], hw_b, precision="highest"
+    )
+    top_albedo_dir = jnp.sum(d_top[..., :ns, 0], axis=-1) / zcos[:, None]
+    bc = {"top_albedo_diff": top_albedo_diff, "top_albedo_dir": top_albedo_dir}
+
+    # Aux scalar pack for the down sweeps
+    air_abs_coef = inp.air_ext * (1.0 - inp.air_ssa)  # [C, L, S]
+    veg_abs_coef = inp.veg_ext[..., None] * (1.0 - inp.veg_ssa)
+    wall_albedo = (
+        inp.wall_albedo if opt.do_urban else jnp.zeros((C, L, S), dtype)
+    )
+    nod = max(nreg - 1, 1)
+    fw_b = jnp.broadcast_to(geo["f_wall"][:, None], (C, S, L, nreg))
+    od_b = jnp.broadcast_to(
+        _pad_od(geo["od_scaling"])[:, None], (C, S, L, nod)
+    )
+    aux = jnp.concatenate(
+        [
+            fw_b, od_b,
+            air_abs_coef.transpose(0, 2, 1)[..., None],
+            veg_abs_coef.transpose(0, 2, 1)[..., None],
+            wall_albedo.transpose(0, 2, 1)[..., None],
+        ],
+        axis=-1,
+    ).reshape(B, L, nreg + nod + 3)
+    aux = PS._pad_b(aux, pad)
+    grd_dn = bv(zcos_cs[..., None], 1.0)
+
+    def run_sweep(with_direct):
+        outs_bl, fin = PS.sw_down_sweep(
+            bl(lay["R"]), bl(lay["T"]), bl(lay["E"]), bl(lay["Sdn"]),
+            bl(lay["int_dir"]), bl(lay["int_diff"]), bl(lay["int_dir_diff"]),
+            stacks, vov, aux, grd_dn,
+            nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+            with_direct=with_direct, do_urban=opt.do_urban,
+            with_profiles=with_profiles, interpret=interp,
+        )
+        outs = {
+            k: v[:B].reshape(C, S, L).transpose(0, 2, 1)
+            for k, v in outs_bl.items()
+        }
+        dn_dir_fin = fin[:B, :nreg].reshape(C, S, nreg)
+        dn_diff_fin = fin[:B, nreg:].reshape(C, S, nd)
+        return outs, dn_dir_fin, dn_diff_fin
+
+    # Clear-sky direct recurrence in closed form
+    # (radsurf_urban_sw.F90:804-848): suffix products over layers above
+    itr = _itransp(inp.air_ext, inp.dz)
+    air_ext_t = jnp.take_along_axis(
+        inp.air_ext, itr[:, None, None], axis=-1
+    )[..., 0]  # [C, L]
+    bf_above = jnp.concatenate(
+        [inp.building_fraction[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
+    )
+    roof_fraction = jnp.maximum(0.0, inp.building_fraction - bf_above)
+    nbf = 1.0 - inp.building_fraction
+    nbf_above = 1.0 - bf_above
+    tdc = jnp.exp(-air_ext_t * inp.dz / zcos[:, None])  # trans_dir_clear
+    npw_sum = jnp.sum(geo["norm_perim_wall"], axis=-1)
+    fwdc = jnp.where(
+        nbf > opt.min_building_fraction,
+        npw_sum / (Pi * jnp.maximum(nbf, opt.min_building_fraction)),
+        0.0,
+    )
+    g_fac = (nbf / nbf_above) * tdc
+    suffix = jnp.flip(jnp.cumprod(jnp.flip(g_fac, 1), axis=1), 1)  # P[l]
+    c_in = (1.0 / zcos)[:, None] * jnp.concatenate(
+        [suffix[:, 1:], jnp.ones((C, 1), dtype)], axis=1
+    )
+    c_mid = c_in * nbf / nbf_above
+    int_dir_clear = jnp.where(
+        air_ext_t > 0.0,
+        c_mid * (1.0 - tdc) * zcos[:, None]
+        / jnp.where(air_ext_t > 0.0, air_ext_t, 1.0),
+        c_mid * inp.dz,
+    )
+    dn_dir_clear_fin = (1.0 / zcos) * suffix[:, 0]
+    eps = jnp.finfo(dtype).eps
+
+    def finalize(outs, dn_dir_fin, dn_diff_fin, with_direct):
+        # Ground fluxes (radsurf_urban_sw.F90:861-876) without
+        # materializing the [C,S,nd,nd] ground operators
+        dsum = jnp.sum(dn_diff_fin.reshape(C, S, nreg, ns), axis=-1)
+        up = galb[..., None, None] * hw_b * dsum[..., None]
+        if with_direct:
+            up = up + (
+                (zcos[:, None] * galb_dir)[..., None, None]
+                * hw_b * dn_dir_fin[..., None]
+            )
+        up_fin = up.reshape(C, S, nd)
+        ground_dn_dir = zcos[:, None] * jnp.sum(dn_dir_fin, axis=-1)
+        ground_dn = jnp.sum(dn_diff_fin, axis=-1)
+        if with_direct:
+            ground_dn = ground_dn + ground_dn_dir
+        outs["ground_dn"] = ground_dn
+        outs["ground_net"] = ground_dn - jnp.sum(up_fin, axis=-1)
+        tan_over_pi = jnp.asarray(
+            np.tile(np.asarray(lg.tan_ang, dtype), nreg) / Pi, dtype
+        )
+        outs["ground_vertical_diff"] = jnp.einsum(
+            "csj,j->cs", dn_diff_fin + up_fin, tan_over_pi,
+            precision="highest",
+        )
+        if with_direct:
+            outs["ground_dn_dir"] = ground_dn_dir
+            gdd_t = _take_spec(ground_dn_dir, itr)
+            outs["ground_sunlit_frac"] = gdd_t / (zcos * dn_dir_clear_fin)
+            outs["roof_sunlit_frac"] = (
+                _take_spec(outs["roof_in_dir"], itr) * nbf_above
+                / (zcos[:, None] * c_in
+                   * jnp.maximum(opt.min_building_fraction, roof_fraction))
+            )
+            if nreg > 1:
+                vb_t = _take_spec(veg_abs_coef, itr)
+                veg_abs_dir_clear = (
+                    int_dir_clear * vb_t * inp.veg_fraction
+                )
+                outs["veg_sunlit_frac"] = _take_spec(
+                    outs["veg_abs_dir"], itr
+                ) / jnp.maximum(eps, veg_abs_dir_clear)
+            if opt.do_urban:
+                outs["wall_sunlit_frac"] = 0.5 * _take_spec(
+                    outs["wall_in_dir"], itr
+                ) / jnp.maximum(eps, fwdc * sin0[:, None] * int_dir_clear)
+            outs["top_dn_dir"] = jnp.ones((C, S), dtype)
+            outs["top_dn"] = jnp.ones((C, S), dtype)
+            outs["top_net"] = 1.0 - top_albedo_dir
+        else:
+            outs["top_dn_dir"] = jnp.zeros((C, S), dtype)
+            outs["top_dn"] = jnp.ones((C, S), dtype)
+            outs["top_net"] = 1.0 - top_albedo_diff
+        return outs
+
+    norm_dir = finalize(*run_sweep(True), with_direct=True)
+    norm_diff = finalize(*run_sweep(False), with_direct=False)
+    return norm_dir, norm_diff, bc
+
+
+def _lw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
+                    geo, lay, wall_emissivity, roof_emissivity, roof_emission,
+                    exposed_roof, emiss_reg, emiss_air, emiss_veg, emiss_wall,
+                    with_profiles):
+    from ..ops import pallas_sweep as PS
+
+    nreg, ns = opt.nreg, lg.nstream
+    nd = nreg * ns
+    C, L = inp.dz.shape
+    S = inp.air_ext.shape[-1]
+    B = C * S
+    dtype = inp.air_ext.dtype
+    hw = tuple(float(x) for x in lg.hweight)
+    rmu = tuple(1.0 / float(x) for x in lg.mu)
+    rtan = tuple(float(x) for x in lg.tan_ang)
+    pad = (-B) % PS.TILE
+    interp = jax.default_backend() != "tpu"
+
+    def bl(x):
+        x = x.transpose(0, 2, 1, 3).reshape(B, L, x.shape[-1])
+        return PS._pad_b(x, pad)
+
+    def bls(x):
+        return bl(x[..., None])
+
+    def blc(x):
+        rows = x.shape[-1]
+        x = jnp.broadcast_to(x[:, None], (C, S, L, rows)).reshape(B, L, rows)
+        return PS._pad_b(x, pad)
+
+    geps = inp.ground_emissivity  # [C, S]
+    gemit = inp.ground_emission
+    frac0 = jnp.broadcast_to(
+        geo["frac"][:, 0, :][:, None], (C, S, nreg)
+    )
+    grd_up = PS._pad_b(
+        jnp.concatenate([geps[..., None], gemit[..., None], frac0], -1)
+        .reshape(B, 2 + nreg),
+        pad,
+    )
+    uov = blc(_flat(geo["u_ov"]))
+    vov = blc(_flat(geo["v_ov"]))
+
+    stacks, top = PS.lw_up_sweep(
+        bl(lay["R"]), bl(lay["T"]), bl(lay["p"]), uov, vov,
+        bls(roof_emissivity), bls(roof_emission),
+        blc(exposed_roof[..., None]), grd_up,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, interpret=interp,
+    )
+    a_top = top[:B, : nd * nd].reshape(C, S, nd, nd)
+    source_top = top[:B, nd * nd:].reshape(C, S, nd)
+    hw_b = jnp.asarray(np.asarray(lg.hweight, dtype))
+    top_emissivity = 1.0 - jnp.einsum(
+        "csij,j->cs", a_top[..., :ns, :ns], hw_b, precision="highest"
+    )
+    top_emission = jnp.sum(source_top[..., :ns], axis=-1)
+    bc = {"top_emissivity": top_emissivity, "top_emission": top_emission}
+
+    air_abs_coef = inp.air_ext * (1.0 - inp.air_ssa)
+    veg_abs_coef = inp.veg_ext[..., None] * (1.0 - inp.veg_ssa)
+    nod = max(nreg - 1, 1)
+    fw_b = jnp.broadcast_to(geo["f_wall"][:, None], (C, S, L, nreg))
+    od_b = jnp.broadcast_to(
+        _pad_od(geo["od_scaling"])[:, None], (C, S, L, nod)
+    )
+    dz_cs = inp.dz[:, :, None]  # [C, L, 1] broadcasting over S
+    sub_air = emiss_reg[..., 0] * dz_cs
+    sub_vegair = jnp.sum(emiss_air, -1) * dz_cs
+    sub_veg = jnp.sum(emiss_veg, -1) * dz_cs
+    sub_wall = emiss_wall * dz_cs
+
+    def t1(x):  # [C, L, S] -> [C, S, L, 1]
+        return x.transpose(0, 2, 1)[..., None]
+
+    aux = jnp.concatenate(
+        [
+            fw_b, od_b, t1(air_abs_coef), t1(veg_abs_coef),
+            t1(wall_emissivity), t1(sub_air), t1(sub_vegair), t1(sub_veg),
+            t1(sub_wall),
+        ],
+        axis=-1,
+    ).reshape(B, L, nreg + nod + 7)
+    aux = PS._pad_b(aux, pad)
+
+    def run_sweep(with_source):
+        outs_bl, fin = PS.lw_down_sweep(
+            bl(lay["R"]), bl(lay["T"]), bl(lay["p"]),
+            bl(lay["int_diff"]), bl(lay["int_source"]),
+            stacks, vov, aux,
+            nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+            with_source=with_source, do_urban=opt.do_urban,
+            with_profiles=with_profiles, interpret=interp,
+        )
+        outs = {
+            k: v[:B].reshape(C, S, L).transpose(0, 2, 1)
+            for k, v in outs_bl.items()
+        }
+        dn_fin = fin[:B].reshape(C, S, nd)
+        # Ground fluxes (radsurf_urban_lw.F90:806-828) without
+        # materializing the ground operators
+        dsum = jnp.sum(dn_fin.reshape(C, S, nreg, ns), axis=-1)
+        up = (1.0 - geps)[..., None, None] * hw_b * dsum[..., None]
+        if with_source:
+            up = up + (
+                gemit[..., None, None] * frac0[..., None] * hw_b
+            )
+        up_fin = up.reshape(C, S, nd)
+        outs["ground_dn"] = jnp.sum(dn_fin, axis=-1)
+        outs["ground_net"] = outs["ground_dn"] - jnp.sum(up_fin, axis=-1)
+        tan_over_pi = jnp.asarray(
+            np.tile(np.asarray(lg.tan_ang, dtype), nreg) / Pi, dtype
+        )
+        outs["ground_vertical_diff"] = jnp.einsum(
+            "csj,j->cs", dn_fin + up_fin, tan_over_pi, precision="highest"
+        )
+        if with_source:
+            outs["top_dn"] = jnp.zeros((C, S), dtype)
+            outs["top_net"] = -top_emission
+        else:
+            outs["top_dn"] = jnp.ones((C, S), dtype)
+            outs["top_net"] = top_emissivity
+        return outs
+
+    return run_sweep(True), run_sweep(False), bc
 
 
 # ----------------------------------------------------------------------
@@ -871,6 +1227,13 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         [inp.building_fraction[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
     )
     exposed_roof = jnp.maximum(0.0, inp.building_fraction - bf_above)
+
+    if _use_pallas_sweeps(opt, lg):
+        return _lw_pallas_path(
+            inp, opt, lg, geo, lay, wall_emissivity, roof_emissivity,
+            roof_emission, exposed_roof, emiss_reg, emiss_air, emiss_veg,
+            emiss_wall, with_profiles,
+        )
 
     def up_step(carry, x):
         a_above, source_above = carry

@@ -271,11 +271,18 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
                   G, F, W1, W2, W3, RT, SS, EE, rec):
     """One batch tile: expm + thin extraction + doubling.
 
+    The scaling exponent K is chosen PER TILE from the max row-sum norm
+    of Gamma*dz over the 1024 batch elements: K = ceil(log2(norm/theta)),
+    clamped to [0, n_double] (so n_double is the maximum, matching the
+    XLA path's fixed count).  Pade-7 truncation at theta = 2 is ~2e-11,
+    far below f32 rounding, and thin layers skip most of the doubling
+    loop (measured ~2 ms per doubling step per 128k layers on v5e).
+
     Scratch: G,F [N*N]; W1,W2,W3 [N*N] general workspaces; RT [4*nd*nd]
     (R, T and two temps); SS [4*nd*ndir]; EE [2*ndir*ndir]; rec [1].
     """
     N = 2 * nd + ndir
-    scale_val = dz_ref[0] * (2.0 ** -float(n_double))
+    scale_val = dz_ref[0]
 
     # ---- assemble scaled Gamma: [[-g1,-g2,-g3],[g2,g1,g3],[0,0,g0]]
     def asm_diff(i, _):
@@ -316,43 +323,63 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
 
     jax.lax.fori_loop(0, ndir, asm_dir, 0)
 
-    # ---- Pade-7 expm: F = expm(G)
+    # ---- norm-adaptive scaling: K from the tile-max row-sum norm
+    theta = 2.0
+
+    def norm_i(i, m):
+        acc = jnp.abs(G[i * N])
+        for j in range(1, N):
+            acc = acc + jnp.abs(G[i * N + j])
+        return jnp.maximum(m, acc)
+
+    nrm = jax.lax.fori_loop(0, N, norm_i, jnp.zeros_like(G[0]))
+    nmax = jnp.max(nrm)
+    n_K = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(nmax, 1e-30) / theta)),
+        0, n_double,
+    ).astype(jnp.int32)
+    fac = jnp.exp2(-n_K.astype(nmax.dtype))
+
+    def scale_r(r, _):
+        G[r] = G[r] * fac
+        return 0
+
+    jax.lax.fori_loop(0, N * N, scale_r, 0)
+
+    # ---- Pade-7 expm: F = expm(G), 4 matmuls + 1 solve
     b = _PADE7_B
     _matmul(W1, G, G, N, N, N)          # W1 = A2
     _matmul(W2, W1, W1, N, N, N)        # W2 = A4
     _matmul(W3, W1, W2, N, N, N)        # W3 = A6
-    # F <- b7*A6 + b5*A4 + b3*A2 (+ b1*I); then U = G @ F  (stored in W2)
-    def poly_u(r, _):
-        F[r] = b[7] * W3[r] + b[5] * W2[r] + b[3] * W1[r]
-        return 0
-
-    jax.lax.fori_loop(0, N * N, poly_u, 0)
-
-    def diag_u(i, _):
-        F[i * N + i] = F[i * N + i] + b[1]
-        return 0
-
-    jax.lax.fori_loop(0, N, diag_u, 0)
-    _matmul(W2, G, F, N, N, N)          # W2 = U  (A4 consumed)
-    # V in W1: b6*A6 + b4*A4(!) -- A4 overwritten; recompute V from A2, A6:
-    # V = b6*A6 + b4*(A2@A2) + b2*A2 + b0*I.  Reuse W3 (A6), W1 (A2).
-    _matmul(F, W1, W1, N, N, N)         # F = A4 again
-
+    # V first (even polynomial, needs all powers): F <- b6*A6+b4*A4+b2*A2+b0*I
     def poly_v(r, _):
-        W3[r] = b[6] * W3[r] + b[4] * F[r] + b[2] * W1[r]
+        F[r] = b[6] * W3[r] + b[4] * W2[r] + b[2] * W1[r]
         return 0
 
     jax.lax.fori_loop(0, N * N, poly_v, 0)
 
     def diag_v(i, _):
-        W3[i * N + i] = W3[i * N + i] + b[0]
+        F[i * N + i] = F[i * N + i] + b[0]
         return 0
 
     jax.lax.fori_loop(0, N, diag_v, 0)
-    # (V - U) F = (V + U):  build V-U in W1, V+U in F, solve
+    # Odd polynomial inner part in-place over A6, then U = G @ it -> W2
+    def poly_u(r, _):
+        W3[r] = b[7] * W3[r] + b[5] * W2[r] + b[3] * W1[r]
+        return 0
+
+    jax.lax.fori_loop(0, N * N, poly_u, 0)
+
+    def diag_u(i, _):
+        W3[i * N + i] = W3[i * N + i] + b[1]
+        return 0
+
+    jax.lax.fori_loop(0, N, diag_u, 0)
+    _matmul(W2, G, W3, N, N, N)         # W2 = U
+    # (V - U) F = (V + U):  build V-U in W1, V+U in F (in place), solve
     def vu(r, _):
-        W1[r] = W3[r] - W2[r]
-        F[r] = W3[r] + W2[r]
+        W1[r] = F[r] - W2[r]
+        F[r] = F[r] + W2[r]
         return 0
 
     jax.lax.fori_loop(0, N * N, vu, 0)
@@ -442,7 +469,7 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
     off_supe = 3 * nd * ndir
     off_e2 = ndir * ndir
 
-    for _step in range(n_double):
+    def _dbl_step(_step, _):
         # SupE = Sup @ E ; S_mid = Sdn + R @ SupE
         def supe(i, _):
             def dj(d, _):
@@ -597,6 +624,9 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
             return 0
 
         jax.lax.fori_loop(0, ndir, commit_e, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_K, _dbl_step, 0)
 
     # ---- write outputs
     _copy(r_out, RT, nd * nd)

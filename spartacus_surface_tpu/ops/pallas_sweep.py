@@ -1,0 +1,1079 @@
+"""Pallas TPU kernels for the adding-method up-sweep and flux down-sweeps.
+
+Same batch-in-lanes layout as ops/pallas_layer.py: a small matrix (n, m)
+for a tile of 1024 batch elements is a VMEM buffer of [n*m, 8, 128] rows,
+so every FMA processes a full (8, 128) register of batch elements.  The
+layer recurrences (radsurf_urban_sw.F90:590-654 up; :676-1001 down;
+radsurf_urban_lw.F90:567-627 up; :639-858 down) run with the carry held in
+VMEM scratch across a sequential grid over (batch tile, layer): Pallas TPU
+executes the grid in order, so scratch persists layer to layer and the HBM
+working set is one layer's operators at a time.
+
+Differences from the XLA scan path (models/solver.py), both exact:
+  * the up-sweep emits inv(I - a_above R) instead of the denominator, so
+    the down-sweeps need no solves (pure matvecs);
+  * the clear-sky direct recurrence + sunlit fractions (per-column [C, L]
+    scalars, radsurf_urban_sw.F90:804-848) stay OUTSIDE the kernel as
+    closed-form cumulative products (models/solver.py kernel path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_layer import LANES, SUBLANES, TILE
+
+
+# ----------------------------------------------------------------------
+# Offset-addressed in-VMEM batched linear algebra on [rows, 8, 128] refs
+# ----------------------------------------------------------------------
+
+def _mm(out, ob, a, ab, b, bb, n, p, m, *, ostride=None, bstride=None,
+        accumulate=False, eye_minus=False):
+    """out[ob + i*ostride + j] (+)= sum_k a[ab+i*p+k] * b[bb+k*bstride+j]
+    for the (n x m) result of an (n x p) @ (p x m) product.  eye_minus
+    instead writes I - A@B (n == m)."""
+    ostride = m if ostride is None else ostride
+    bstride = m if bstride is None else bstride
+
+    def bi(i, _):
+        def bj(j, _):
+            acc = a[ab + i * p] * b[bb + j]
+            for k in range(1, p):
+                acc = acc + a[ab + i * p + k] * b[bb + k * bstride + j]
+            if eye_minus:
+                out[ob + i * ostride + j] = jnp.where(i == j, 1.0, 0.0) - acc
+            elif accumulate:
+                out[ob + i * ostride + j] = out[ob + i * ostride + j] + acc
+            else:
+                out[ob + i * ostride + j] = acc
+            return 0
+
+        jax.lax.fori_loop(0, m, bj, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n, bi, 0)
+
+
+def _mv(out, ob, a, ab, x, xb, n, p, *, accumulate=False):
+    """out[ob + i] (+)= sum_k a[ab + i*p + k] * x[xb + k]."""
+
+    def bi(i, _):
+        acc = a[ab + i * p] * x[xb]
+        for k in range(1, p):
+            acc = acc + a[ab + i * p + k] * x[xb + k]
+        if accumulate:
+            out[ob + i] = out[ob + i] + acc
+        else:
+            out[ob + i] = acc
+        return 0
+
+    jax.lax.fori_loop(0, n, bi, 0)
+
+
+def _solve_off(a, ab, rhs, rb, n, m, rec):
+    """Pivot-free in-place solve a(n x n) X = rhs(n x m) at row offsets;
+    `a` destroyed, X overwrites rhs (cf. radtool_matrix.F90:982-1055)."""
+
+    def elim_k(k, _):
+        rec[0] = 1.0 / a[ab + k * n + k]
+
+        def elim_i(i, _):
+            f = a[ab + i * n + k] * rec[0]
+
+            def upd_j(j, _):
+                a[ab + i * n + j] = a[ab + i * n + j] - f * a[ab + k * n + j]
+                return 0
+
+            jax.lax.fori_loop(k + 1, n, upd_j, 0)
+
+            def upd_r(j, _):
+                rhs[rb + i * m + j] = rhs[rb + i * m + j] - f * rhs[rb + k * m + j]
+                return 0
+
+            jax.lax.fori_loop(0, m, upd_r, 0)
+            return 0
+
+        jax.lax.fori_loop(k + 1, n, elim_i, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, elim_k, 0)
+
+    def back_i(ii, _):
+        i = n - 1 - ii
+        rec[0] = 1.0 / a[ab + i * n + i]
+
+        def back_j(j, _):
+            acc = rhs[rb + i * m + j]
+
+            def sub_k(k, acc):
+                return acc - a[ab + i * n + k] * rhs[rb + k * m + j]
+
+            acc = jax.lax.fori_loop(i + 1, n, sub_k, acc)
+            rhs[rb + i * m + j] = acc * rec[0]
+            return 0
+
+        jax.lax.fori_loop(0, m, back_j, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n, back_i, 0)
+
+
+def _cp(dst, db, src, sb, rows):
+    def b(r, _):
+        dst[db + r] = src[sb + r]
+        return 0
+
+    jax.lax.fori_loop(0, rows, b, 0)
+
+
+def _zero(dst, db, rows, zlike):
+    z = jnp.zeros_like(zlike[0])
+
+    def b(r, _):
+        dst[db + r] = z
+        return 0
+
+    jax.lax.fori_loop(0, rows, b, 0)
+
+
+# ----------------------------------------------------------------------
+# Shortwave up-sweep (radsurf_urban_sw.F90:590-674)
+# ----------------------------------------------------------------------
+
+def _sw_up_kernel(nd, ns, nreg, nlay, hw,
+                  R, T, E, Sup, Sdn, uov, vov, ralb, ralbd, grd,
+                  stacks, top,
+                  AA, DA, W1, RHS, TMP, TMPD, rec):
+    nregp = nreg + 1
+    nd2 = nregp * ns
+    mtot = 2 * nd + nreg
+    l = pl.program_id(1)
+    # Stack row offsets: [a_above | d_above | inv_denom | a_below | d_below]
+    s_aa = 0
+    s_da = nd * nd
+    s_inv = s_da + nd * nreg
+    s_ab = s_inv + nd * nd
+    s_db = s_ab + nd2 * nd2
+
+    @pl.when(l == 0)
+    def _init():
+        # Ground operators (radsurf_urban_sw.F90:593-602):
+        # a_ground[(r,n),(r2,m)] = albedo * hw[m] * (r == r2)
+        # d_ground[(r,n),r2]     = mu0 * albedo_dir * hw[n] * (r == r2)
+        z = jnp.zeros_like(grd[0])
+        for i in range(nd):
+            for j in range(nd):
+                if i // ns == j // ns:
+                    # a_ground(to, fr) = albedo * hweight(to)
+                    # (radsurf_urban_sw.F90:593-602)
+                    AA[i * nd + j] = grd[0] * hw[i % ns]
+                else:
+                    AA[i * nd + j] = z
+            for r in range(nreg):
+                if i // ns == r:
+                    DA[i * nreg + r] = grd[2] * grd[1] * hw[i % ns]
+                else:
+                    DA[i * nreg + r] = z
+
+    # denom = I - a_above @ R  (radsurf_urban_sw.F90:607-609)
+    _mm(W1, 0, AA, 0, R, 0, nd, nd, nd, eye_minus=True)
+    # RHS = [a_above@T | d_above@E + a_above@Sdn | I]
+    _mm(RHS, 0, AA, 0, T, 0, nd, nd, nd, ostride=mtot)
+    _mm(RHS, nd, DA, 0, E, 0, nd, nreg, nreg, ostride=mtot, bstride=nreg)
+    _mm(RHS, nd, AA, 0, Sdn, 0, nd, nd, nreg, ostride=mtot, bstride=nreg,
+        accumulate=True)
+
+    def eye_i(i, _):
+        for j in range(nd):
+            RHS[i * mtot + nd + nreg + j] = jnp.zeros_like(
+                rec[0]
+            ) + jnp.where(i == j, 1.0, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, eye_i, 0)
+    _solve_off(W1, 0, RHS, 0, nd, mtot, rec)
+
+    # Emit the entry carry + inv(denom) (the down-sweeps' "above" operators)
+    _cp(stacks, s_aa, AA, 0, nd * nd)
+    _cp(stacks, s_da, DA, 0, nd * nreg)
+
+    def inv_i(i, _):
+        def inv_j(j, _):
+            stacks[s_inv + i * nd + j] = RHS[i * mtot + nd + nreg + j]
+            return 0
+
+        jax.lax.fori_loop(0, nd, inv_j, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, inv_i, 0)
+
+    # a_below / d_below incl. exposed-roof rows
+    # (radsurf_urban_sw.F90:607-643), written straight into the stack
+    _zero(stacks, s_ab, nd2 * nd2, rec)
+    _zero(stacks, s_db, nd2 * nregp, rec)
+
+    def ab_i(i, _):
+        def ab_j(j, _):
+            acc = R[i * nd + j]
+            for k in range(nd):
+                acc = acc + T[i * nd + k] * RHS[k * mtot + j]
+            stacks[s_ab + i * nd2 + j] = acc
+            return 0
+
+        jax.lax.fori_loop(0, nd, ab_j, 0)
+        for r in range(nreg):
+            acc = Sup[i * nreg + r]
+            for k in range(nd):
+                acc = acc + T[i * nd + k] * RHS[k * mtot + nd + r]
+            stacks[s_db + i * nregp + r] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nd, ab_i, 0)
+    for u in range(ns):
+        for v in range(ns):
+            # a_roof(to, fr) = albedo * hweight(to)
+            # (radsurf_urban_sw.F90:627-643)
+            stacks[s_ab + (nd + u) * nd2 + nd + v] = ralb[0] * hw[u]
+        stacks[s_db + (nd + u) * nregp + nreg] = grd[2] * ralbd[0] * hw[u]
+
+    # Overlap translation to above the interface
+    # (radsurf_urban_sw.F90:646-653): (u (x) I_ns) @ below @ (v (x) I_ns)
+    for t in range(nreg):
+        for f in range(nreg):
+            def ov_a(a, _):
+                for b in range(ns):
+                    acc = None
+                    for q in range(nregp):
+                        for r in range(nregp):
+                            term = (
+                                uov[t * nregp + q]
+                                * stacks[s_ab + (q * ns + a) * nd2 + r * ns + b]
+                                * vov[r * nreg + f]
+                            )
+                            acc = term if acc is None else acc + term
+                    TMP[(t * ns + a) * nd + f * ns + b] = acc
+                acc = None
+                for q in range(nregp):
+                    for r in range(nregp):
+                        term = (
+                            uov[t * nregp + q]
+                            * stacks[s_db + (q * ns + a) * nregp + r]
+                            * vov[r * nreg + f]
+                        )
+                        acc = term if acc is None else acc + term
+                TMPD[(t * ns + a) * nreg + f] = acc
+                return 0
+
+            jax.lax.fori_loop(0, ns, ov_a, 0)
+
+    _cp(AA, 0, TMP, 0, nd * nd)
+    _cp(DA, 0, TMPD, 0, nd * nreg)
+
+    @pl.when(l == nlay - 1)
+    def _top():
+        _cp(top, 0, AA, 0, nd * nd)
+        _cp(top, nd * nd, DA, 0, nd * nreg)
+
+
+# ----------------------------------------------------------------------
+# Shortwave down-sweep (radsurf_urban_sw.F90:676-1001, minus the
+# clear-sky/sunlit bookkeeping which lives outside the kernel)
+# ----------------------------------------------------------------------
+
+def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
+                    with_profiles, out_rows,
+                    R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd,
+                    outs, fin,
+                    DDIR, DDIF, DBD, DBF, UPB, DDN, REF, WRK, DNN, UPA,
+                    IFD, IFR, rec):
+    nregp = nreg + 1
+    nd2 = nregp * ns
+    nod = max(nreg - 1, 1)
+    l = pl.program_id(1)
+    s_aa = 0
+    s_da = nd * nd
+    s_inv = s_da + nd * nreg
+    s_ab = s_inv + nd * nd
+    s_db = s_ab + nd2 * nd2
+    # aux rows: [f_wall(nreg) | od(nod) | ab_coef | vb_coef | wall_albedo]
+    a_fw, a_od = 0, nreg
+    a_ab, a_vb, a_wa = nreg + nod, nreg + nod + 1, nreg + nod + 2
+    zcos = grd[0]
+    z = jnp.zeros_like(zcos)
+
+    @pl.when(l == 0)
+    def _init():
+        # TOC conditions (radsurf_urban_sw.F90:687-700)
+        for r in range(nreg):
+            DDIR[r] = 1.0 / zcos if (with_direct and r == 0) else z
+        for i in range(nd):
+            DDIF[i] = (z + hw[i]) if (not with_direct and i < ns) else z
+
+    # Translate across the interface at layer top (:707-714)
+    def tr_q(q, _):
+        acc = vov[q * nreg] * DDIR[0]
+        for r in range(1, nreg):
+            acc = acc + vov[q * nreg + r] * DDIR[r]
+        DBD[q] = acc
+        for n in range(ns):
+            acc = vov[q * nreg] * DDIF[n]
+            for r in range(1, nreg):
+                acc = acc + vov[q * nreg + r] * DDIF[r * ns + n]
+            DBF[q * ns + n] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nregp, tr_q, 0)
+    _mv(UPB, 0, stacks, s_ab, DBF, 0, nd2, nd2)
+    if with_direct:
+        def upd_i(i, _):
+            acc = UPB[i]
+            for r in range(nregp):
+                acc = acc + stacks[s_db + i * nregp + r] * DBD[r]
+            UPB[i] = acc
+            return 0
+
+        jax.lax.fori_loop(0, nd2, upd_i, 0)
+
+    # Roof fluxes (:716-721)
+    roof_in_dir = zcos * DBD[nreg] if with_direct else z
+    roof_in = DBF[nd]
+    roof_up = UPB[nd]
+    for n in range(1, ns):
+        roof_in = roof_in + DBF[nd + n]
+        roof_up = roof_up + UPB[nd + n]
+    if with_direct:
+        roof_in = roof_in + roof_in_dir
+
+    # Fluxes at layer base (:723-735)
+    if with_direct:
+        def ddn_r(r, _):
+            acc = E[r * nreg] * DBD[0]
+            for q in range(1, nreg):
+                acc = acc + E[r * nreg + q] * DBD[q]
+            DDN[r] = acc
+            return 0
+
+        jax.lax.fori_loop(0, nreg, ddn_r, 0)
+        _mv(REF, 0, stacks, s_da, DDN, 0, nd, nreg)
+
+        def rhs_i(i, _):
+            acc = T[i * nd] * DBF[0]
+            for k in range(1, nd):
+                acc = acc + T[i * nd + k] * DBF[k]
+            for k in range(nd):
+                acc = acc + R[i * nd + k] * REF[k]
+            for r in range(nreg):
+                acc = acc + Sdn[i * nreg + r] * DBD[r]
+            WRK[i] = acc
+            return 0
+
+        jax.lax.fori_loop(0, nd, rhs_i, 0)
+    else:
+        _mv(WRK, 0, T, 0, DBF, 0, nd, nd)
+    _mv(DNN, 0, stacks, s_inv, WRK, 0, nd, nd)
+    _mv(UPA, 0, stacks, s_aa, DNN, 0, nd, nd)
+    if with_direct:
+        def upa_i(i, _):
+            UPA[i] = UPA[i] + REF[i]
+            return 0
+
+        jax.lax.fori_loop(0, nd, upa_i, 0)
+
+    # Integrated fluxes (:753-761): conv -> int matrices (in WRK/IFD/IFR)
+    def conv_i(i, _):
+        WRK[i] = DBF[i] - DNN[i] - UPB[i] + UPA[i]
+        return 0
+
+    jax.lax.fori_loop(0, nd, conv_i, 0)
+    _mv(IFD, 0, idif, 0, WRK, 0, nd, nd)
+    if with_direct:
+        for r in range(nreg):
+            DBD[r] = DBD[r] - DDN[r]  # conv_dir (DBD reused)
+        _mv(IFR, 0, idir, 0, DBD, 0, nreg, nreg)
+        _mv(IFD, 0, idd, 0, DBD, 0, nd, nreg, accumulate=True)
+    else:
+        for r in range(nreg):
+            IFR[r] = z
+
+    # Absorption (:763-788) + wall (:790-802)
+    ifd_mu = []
+    ifd_tan = []
+    for r in range(nreg):
+        am = IFD[r * ns] * rmu[0]
+        at = IFD[r * ns] * rtan[0]
+        for n in range(1, ns):
+            am = am + IFD[r * ns + n] * rmu[n]
+            at = at + IFD[r * ns + n] * rtan[n]
+        ifd_mu.append(am)
+        ifd_tan.append(at)
+
+    row = {}
+    row["roof_in"] = roof_in
+    row["roof_net"] = roof_in - roof_up
+    if with_direct:
+        row["roof_in_dir"] = roof_in_dir
+    row["clear_air_abs"] = aux[a_ab] * (IFR[0] + ifd_mu[0])
+    if nreg > 1:
+        va = IFR[1] + ifd_mu[1]
+        vs = (IFR[1] + ifd_mu[1]) * aux[a_od]
+        for r in range(2, nreg):
+            va = va + IFR[r] + ifd_mu[r]
+            vs = vs + (IFR[r] + ifd_mu[r]) * aux[a_od + r - 1]
+        row["veg_air_abs"] = aux[a_ab] * va
+        row["veg_abs"] = aux[a_vb] * vs
+        if with_direct:
+            vd = IFR[1] * aux[a_od]
+            for r in range(2, nreg):
+                vd = vd + IFR[r] * aux[a_od + r - 1]
+            row["veg_abs_dir"] = aux[a_vb] * vd
+    if do_urban:
+        wall_in = aux[a_fw] * ifd_tan[0]
+        for r in range(1, nreg):
+            wall_in = wall_in + aux[a_fw + r] * ifd_tan[r]
+        if with_direct:
+            sin0 = jnp.sqrt(jnp.maximum(1.0 - zcos * zcos, 0.0))
+            wd = aux[a_fw] * IFR[0]
+            for r in range(1, nreg):
+                wd = wd + aux[a_fw + r] * IFR[r]
+            wall_in_dir = sin0 * wd
+            row["wall_in_dir"] = wall_in_dir
+            wall_in = wall_in + wall_in_dir
+        row["wall_in"] = wall_in
+        row["wall_net"] = wall_in * (1.0 - aux[a_wa])
+    if with_profiles:
+        sdt = DBF[0]
+        sut = UPB[0]
+        for i in range(1, nd):
+            sdt = sdt + DBF[i]
+            sut = sut + UPB[i]
+        sdb = DNN[0]
+        sub = UPA[0]
+        for i in range(1, nd):
+            sdb = sdb + DNN[i]
+            sub = sub + UPA[i]
+        if with_direct:
+            # DBD now holds conv_dir; recover dn_dir_below = conv + DDN
+            ddt = DBD[0] + DDN[0]
+            ddb = DDN[0]
+            for r in range(1, nreg):
+                ddt = ddt + DBD[r] + DDN[r]
+                ddb = ddb + DDN[r]
+            row["flux_dn_dir_layer_top"] = zcos * ddt
+            row["flux_dn_dir_layer_base"] = zcos * ddb
+            sdt = sdt + zcos * ddt
+            sdb = sdb + zcos * ddb
+        row["flux_dn_layer_top"] = sdt
+        row["flux_up_layer_top"] = sut
+        row["flux_dn_layer_base"] = sdb
+        row["flux_up_layer_base"] = sub
+
+    for i, name in enumerate(out_rows):
+        outs[i] = row[name]
+
+    # Commit carries; final carry -> fin at the last (bottom) layer
+    if with_direct:
+        _cp(DDIR, 0, DDN, 0, nreg)
+    _cp(DDIF, 0, DNN, 0, nd)
+
+    @pl.when(l == nlay - 1)
+    def _fin():
+        _cp(fin, 0, DDIR, 0, nreg)
+        _cp(fin, nreg, DDIF, 0, nd)
+
+
+# ----------------------------------------------------------------------
+# Longwave up-sweep (radsurf_urban_lw.F90:567-637)
+# ----------------------------------------------------------------------
+
+def _lw_up_kernel(nd, ns, nreg, nlay, hw,
+                  R, T, p, uov, vov, reps, remit, exposed, grd,
+                  stacks, top,
+                  AA, SRC, W1, RHS, TMP, TMPS, rec):
+    nregp = nreg + 1
+    nd2 = nregp * ns
+    mtot = 2 * nd + 1
+    l = pl.program_id(1)
+    # Stack rows: [a_above | source_above | inv_denom | a_below | source_below]
+    s_aa = 0
+    s_sa = nd * nd
+    s_inv = s_sa + nd
+    s_ab = s_inv + nd * nd
+    s_sb = s_ab + nd2 * nd2
+
+    @pl.when(l == 0)
+    def _init():
+        # Ground operators (radsurf_urban_lw.F90:551-565):
+        # a_ground[(r,n),(r2,m)] = (1 - emissivity) * hw[m] * (r == r2)
+        # source_ground[(r,n)]   = emission * frac0[r] * hw[n]
+        z = jnp.zeros_like(grd[0])
+        for i in range(nd):
+            for j in range(nd):
+                if i // ns == j // ns:
+                    # a_ground(to, fr) = (1 - emissivity) * hweight(to)
+                    AA[i * nd + j] = (1.0 - grd[0]) * hw[i % ns]
+                else:
+                    AA[i * nd + j] = z
+            SRC[i] = grd[1] * grd[2 + i // ns] * hw[i % ns]
+
+    # denom = I - a_above @ R; RHS = [a_above@T | source_above+a_above@p | I]
+    _mm(W1, 0, AA, 0, R, 0, nd, nd, nd, eye_minus=True)
+    _mm(RHS, 0, AA, 0, T, 0, nd, nd, nd, ostride=mtot)
+
+    def src_i(i, _):
+        acc = SRC[i]
+        for k in range(nd):
+            acc = acc + AA[i * nd + k] * p[k]
+        RHS[i * mtot + nd] = acc
+        for j in range(nd):
+            RHS[i * mtot + nd + 1 + j] = jnp.zeros_like(
+                rec[0]
+            ) + jnp.where(i == j, 1.0, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, src_i, 0)
+    _solve_off(W1, 0, RHS, 0, nd, mtot, rec)
+
+    _cp(stacks, s_aa, AA, 0, nd * nd)
+    _cp(stacks, s_sa, SRC, 0, nd)
+
+    def inv_i(i, _):
+        def inv_j(j, _):
+            stacks[s_inv + i * nd + j] = RHS[i * mtot + nd + 1 + j]
+            return 0
+
+        jax.lax.fori_loop(0, nd, inv_j, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nd, inv_i, 0)
+
+    # a_below / source_below incl. exposed-roof rows (Eq. 34; :583-605)
+    _zero(stacks, s_ab, nd2 * nd2, rec)
+
+    def ab_i(i, _):
+        def ab_j(j, _):
+            acc = R[i * nd + j]
+            for k in range(nd):
+                acc = acc + T[i * nd + k] * RHS[k * mtot + j]
+            stacks[s_ab + i * nd2 + j] = acc
+            return 0
+
+        jax.lax.fori_loop(0, nd, ab_j, 0)
+        acc = p[i]
+        for k in range(nd):
+            acc = acc + T[i * nd + k] * RHS[k * mtot + nd]
+        stacks[s_sb + i] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nd, ab_i, 0)
+    for u in range(ns):
+        for v in range(ns):
+            # a_roof(to, fr) = (1 - emissivity) * hweight(to)
+            stacks[s_ab + (nd + u) * nd2 + nd + v] = (1.0 - reps[0]) * hw[u]
+        stacks[s_sb + nd + u] = remit[0] * exposed[0] * hw[u]
+
+    # Overlap translation (radsurf_urban_lw.F90:620-627)
+    for t in range(nreg):
+        for f in range(nreg):
+            def ov_a(a, _):
+                for b in range(ns):
+                    acc = None
+                    for q in range(nregp):
+                        for r in range(nregp):
+                            term = (
+                                uov[t * nregp + q]
+                                * stacks[s_ab + (q * ns + a) * nd2 + r * ns + b]
+                                * vov[r * nreg + f]
+                            )
+                            acc = term if acc is None else acc + term
+                    TMP[(t * ns + a) * nd + f * ns + b] = acc
+                return 0
+
+            jax.lax.fori_loop(0, ns, ov_a, 0)
+    for t in range(nreg):
+        def ov_s(a, _):
+            acc = None
+            for q in range(nregp):
+                term = uov[t * nregp + q] * stacks[s_sb + q * ns + a]
+                acc = term if acc is None else acc + term
+            TMPS[t * ns + a] = acc
+            return 0
+
+        jax.lax.fori_loop(0, ns, ov_s, 0)
+
+    _cp(AA, 0, TMP, 0, nd * nd)
+    _cp(SRC, 0, TMPS, 0, nd)
+
+    @pl.when(l == nlay - 1)
+    def _top():
+        _cp(top, 0, AA, 0, nd * nd)
+        _cp(top, nd * nd, SRC, 0, nd)
+
+
+# ----------------------------------------------------------------------
+# Longwave down-sweep (radsurf_urban_lw.F90:639-858)
+# ----------------------------------------------------------------------
+
+def _lw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_source, do_urban,
+                    with_profiles, out_rows,
+                    R, T, p, idif, isrc, stacks, vov, aux,
+                    outs, fin,
+                    DN, DBF, UPB, WRK, DNN, UPA, IFL, rec):
+    nregp = nreg + 1
+    nd2 = nregp * ns
+    nod = max(nreg - 1, 1)
+    l = pl.program_id(1)
+    s_aa = 0
+    s_sa = nd * nd
+    s_inv = s_sa + nd
+    s_ab = s_inv + nd * nd
+    s_sb = s_ab + nd2 * nd2
+    # aux rows: [f_wall(nreg) | od(nod) | ab | vb | weps |
+    #            sub_air | sub_vegair | sub_veg | sub_wall]
+    a_fw, a_od = 0, nreg
+    a_ab, a_vb, a_we = nreg + nod, nreg + nod + 1, nreg + nod + 2
+    a_sair, a_svair, a_sveg, a_swall = (nreg + nod + 3, nreg + nod + 4,
+                                        nreg + nod + 5, nreg + nod + 6)
+    z = jnp.zeros_like(rec[0])
+
+    @pl.when(l == 0)
+    def _init():
+        for i in range(nd):
+            DN[i] = (z + hw[i]) if (not with_source and i < ns) else z
+
+    def tr_q(q, _):
+        for n in range(ns):
+            acc = vov[q * nreg] * DN[n]
+            for r in range(1, nreg):
+                acc = acc + vov[q * nreg + r] * DN[r * ns + n]
+            DBF[q * ns + n] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nregp, tr_q, 0)
+    _mv(UPB, 0, stacks, s_ab, DBF, 0, nd2, nd2)
+    if with_source:
+        def upb_i(i, _):
+            UPB[i] = UPB[i] + stacks[s_sb + i]
+            return 0
+
+        jax.lax.fori_loop(0, nd2, upb_i, 0)
+
+    roof_in = DBF[nd]
+    roof_up = UPB[nd]
+    for n in range(1, ns):
+        roof_in = roof_in + DBF[nd + n]
+        roof_up = roof_up + UPB[nd + n]
+
+    def rhs_i(i, _):
+        acc = T[i * nd] * DBF[0]
+        for k in range(1, nd):
+            acc = acc + T[i * nd + k] * DBF[k]
+        if with_source:
+            for k in range(nd):
+                acc = acc + R[i * nd + k] * stacks[s_sa + k]
+            acc = acc + p[i]
+        WRK[i] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nd, rhs_i, 0)
+    _mv(DNN, 0, stacks, s_inv, WRK, 0, nd, nd)
+    _mv(UPA, 0, stacks, s_aa, DNN, 0, nd, nd)
+    if with_source:
+        def upa_i(i, _):
+            UPA[i] = UPA[i] + stacks[s_sa + i]
+            return 0
+
+        jax.lax.fori_loop(0, nd, upa_i, 0)
+
+    def conv_i(i, _):
+        WRK[i] = DBF[i] - DNN[i] - UPB[i] + UPA[i]
+        return 0
+
+    jax.lax.fori_loop(0, nd, conv_i, 0)
+    _mv(IFL, 0, idif, 0, WRK, 0, nd, nd)
+    if with_source:
+        def ifs_i(i, _):
+            IFL[i] = IFL[i] + isrc[i]
+            return 0
+
+        jax.lax.fori_loop(0, nd, ifs_i, 0)
+
+    if_mu = []
+    if_tan = []
+    for r in range(nreg):
+        am = IFL[r * ns] * rmu[0]
+        at = IFL[r * ns] * rtan[0]
+        for n in range(1, ns):
+            am = am + IFL[r * ns + n] * rmu[n]
+            at = at + IFL[r * ns + n] * rtan[n]
+        if_mu.append(am)
+        if_tan.append(at)
+
+    row = {}
+    row["roof_in"] = roof_in
+    row["roof_net"] = roof_in - roof_up
+    ca = aux[a_ab] * if_mu[0]
+    if with_source:
+        ca = ca - aux[a_sair]
+    row["clear_air_abs"] = ca
+    if nreg > 1:
+        va = if_mu[1]
+        vs = if_mu[1] * aux[a_od]
+        for r in range(2, nreg):
+            va = va + if_mu[r]
+            vs = vs + if_mu[r] * aux[a_od + r - 1]
+        va = aux[a_ab] * va
+        vs = aux[a_vb] * vs
+        if with_source:
+            va = va - aux[a_svair]
+            vs = vs - aux[a_sveg]
+        row["veg_air_abs"] = va
+        row["veg_abs"] = vs
+    if do_urban:
+        wall_in = aux[a_fw] * if_tan[0]
+        for r in range(1, nreg):
+            wall_in = wall_in + aux[a_fw + r] * if_tan[r]
+        row["wall_in"] = wall_in
+        wn = wall_in * aux[a_we]
+        if with_source:
+            wn = wn - aux[a_swall]
+        row["wall_net"] = wn
+    if with_profiles:
+        sdt = DBF[0]
+        sut = UPB[0]
+        sdb = DNN[0]
+        sub = UPA[0]
+        for i in range(1, nd):
+            sdt = sdt + DBF[i]
+            sut = sut + UPB[i]
+            sdb = sdb + DNN[i]
+            sub = sub + UPA[i]
+        row["flux_dn_layer_top"] = sdt
+        row["flux_up_layer_top"] = sut
+        row["flux_dn_layer_base"] = sdb
+        row["flux_up_layer_base"] = sub
+
+    for i, name in enumerate(out_rows):
+        outs[i] = row[name]
+
+    _cp(DN, 0, DNN, 0, nd)
+
+    @pl.when(l == nlay - 1)
+    def _fin():
+        _cp(fin, 0, DN, 0, nd)
+
+
+# ----------------------------------------------------------------------
+# Host-side wrappers
+# ----------------------------------------------------------------------
+
+def _default_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _pad_b(x, pad, value=0.0):
+    if not pad:
+        return x
+    fill = jnp.full((pad,) + x.shape[1:], value, x.dtype)
+    return jnp.concatenate([x, fill], axis=0)
+
+
+def _tiles(x):
+    """[B, rows] -> [nb, rows, 8, 128]."""
+    b, rows = x.shape
+    return x.reshape(b // TILE, SUBLANES, LANES, rows).transpose(0, 3, 1, 2)
+
+
+def _tiles_l(x):
+    """[B, L, rows] -> [nb, L, rows, 8, 128]."""
+    b, nlay, rows = x.shape
+    return (
+        x.reshape(b // TILE, SUBLANES, LANES, nlay, rows)
+        .transpose(0, 3, 4, 1, 2)
+    )
+
+
+def _untiles_l(y):
+    """[nb, L, rows, 8, 128] -> [B, L, rows]."""
+    nb, nlay, rows = y.shape[:3]
+    return y.transpose(0, 3, 4, 1, 2).reshape(nb * TILE, nlay, rows)
+
+
+def _untiles(y):
+    """[nb, rows, 8, 128] -> [B, rows]."""
+    nb, rows = y.shape[:2]
+    return y.transpose(0, 2, 3, 1).reshape(nb * TILE, rows)
+
+
+def _lspec(rows, reverse_of=None):
+    if reverse_of is None:
+        idx = lambda i, l: (i, l, 0, 0, 0)
+    else:
+        idx = lambda i, l: (i, reverse_of - 1 - l, 0, 0, 0)
+    return pl.BlockSpec((None, None, rows, SUBLANES, LANES), idx,
+                        memory_space=pltpu.VMEM)
+
+
+def _bspec(rows):
+    return pl.BlockSpec((None, rows, SUBLANES, LANES),
+                        lambda i, l: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _scr(rows, dtype):
+    return pltpu.VMEM((rows, SUBLANES, LANES), dtype)
+
+
+def sw_stack_rows(nd, ns, nreg):
+    nd2 = (nreg + 1) * ns
+    return 2 * nd * nd + nd * nreg + nd2 * nd2 + nd2 * (nreg + 1)
+
+
+def lw_stack_rows(nd, ns, nreg):
+    nd2 = (nreg + 1) * ns
+    return 2 * nd * nd + nd + nd2 * nd2 + nd2
+
+
+def sw_out_rows(with_direct, do_urban, nreg, with_profiles):
+    rows = ["roof_in", "roof_net"]
+    if with_direct:
+        rows.append("roof_in_dir")
+    rows.append("clear_air_abs")
+    if nreg > 1:
+        rows += ["veg_air_abs", "veg_abs"]
+        if with_direct:
+            rows.append("veg_abs_dir")
+    if do_urban:
+        if with_direct:
+            rows.append("wall_in_dir")
+        rows += ["wall_in", "wall_net"]
+    if with_profiles:
+        if with_direct:
+            rows += ["flux_dn_dir_layer_top", "flux_dn_dir_layer_base"]
+        rows += ["flux_dn_layer_top", "flux_up_layer_top",
+                 "flux_dn_layer_base", "flux_up_layer_base"]
+    return tuple(rows)
+
+
+def lw_out_rows(do_urban, nreg, with_profiles):
+    rows = ["roof_in", "roof_net", "clear_air_abs"]
+    if nreg > 1:
+        rows += ["veg_air_abs", "veg_abs"]
+    if do_urban:
+        rows += ["wall_in", "wall_net"]
+    if with_profiles:
+        rows += ["flux_dn_layer_top", "flux_up_layer_top",
+                 "flux_dn_layer_base", "flux_up_layer_base"]
+    return tuple(rows)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nd", "ns", "nreg", "hw", "interpret"),
+)
+def sw_up_sweep(R, T, E, Sup, Sdn, uov, vov, ralb, ralbd, grd, *,
+                nd, ns, nreg, hw, interpret=False):
+    """Upward adding sweep.  Per-layer inputs [B, L, rows] (flattened
+    matrices), ground pack grd [B, 3] = [albedo, albedo_dir, cos_sza];
+    B a multiple of 1024.  Returns (stacks [B, L, rows_st], top [B, rows_top])
+    with stack layout [a_above | d_above | inv_denom | a_below | d_below]."""
+    B, L = R.shape[:2]
+    nb = B // TILE
+    dtype = R.dtype
+    mtot = 2 * nd + nreg
+    rows_st = sw_stack_rows(nd, ns, nreg)
+    rows_top = nd * nd + nd * nreg
+
+    kernel = functools.partial(_sw_up_kernel, nd, ns, nreg, L, hw)
+    stacks, top = pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            _lspec(nd * nd), _lspec(nd * nd), _lspec(nreg * nreg),
+            _lspec(nd * nreg), _lspec(nd * nreg),
+            _lspec(nreg * (nreg + 1)), _lspec((nreg + 1) * nreg),
+            _lspec(1), _lspec(1), _bspec(3),
+        ],
+        out_specs=(_lspec(rows_st), _bspec(rows_top)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, L, rows_st, SUBLANES, LANES), dtype),
+            jax.ShapeDtypeStruct((nb, rows_top, SUBLANES, LANES), dtype),
+        ),
+        scratch_shapes=[
+            _scr(nd * nd, dtype), _scr(nd * nreg, dtype),
+            _scr(nd * nd, dtype), _scr(nd * mtot, dtype),
+            _scr(nd * nd, dtype), _scr(nd * nreg, dtype), _scr(1, dtype),
+        ],
+        interpret=interpret,
+    )(
+        _tiles_l(R), _tiles_l(T), _tiles_l(E), _tiles_l(Sup), _tiles_l(Sdn),
+        _tiles_l(uov), _tiles_l(vov), _tiles_l(ralb), _tiles_l(ralbd),
+        _tiles(grd),
+    )
+    return _untiles_l(stacks), _untiles(top)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "with_direct",
+                     "do_urban", "with_profiles", "interpret"),
+)
+def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
+                  nd, ns, nreg, hw, rmu, rtan, with_direct, do_urban,
+                  with_profiles, interpret=False):
+    """Downward flux sweep (top to bottom).  aux [B, L, rows] packs
+    [f_wall(nreg) | od(max(nreg-1,1)) | ab_coef | vb_coef | wall_albedo];
+    grd [B, 1] = [cos_sza].  Returns ({name: [B, L]}, fin [B, nreg + nd])
+    where fin = [dn_dir | dn_diff] below the lowest layer."""
+    B, L = R.shape[:2]
+    nb = B // TILE
+    dtype = R.dtype
+    nd2 = (nreg + 1) * ns
+    rows_st = sw_stack_rows(nd, ns, nreg)
+    nod = max(nreg - 1, 1)
+    rows_aux = nreg + nod + 3
+    out_rows = sw_out_rows(with_direct, do_urban, nreg, with_profiles)
+    n_out = len(out_rows)
+
+    kernel = functools.partial(
+        _sw_down_kernel, nd, ns, nreg, L, hw, rmu, rtan, with_direct,
+        do_urban, with_profiles, out_rows,
+    )
+    outs, fin = pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            _lspec(nd * nd, L), _lspec(nd * nd, L), _lspec(nreg * nreg, L),
+            _lspec(nd * nreg, L), _lspec(nreg * nreg, L),
+            _lspec(nd * nd, L), _lspec(nd * nreg, L),
+            _lspec(rows_st, L), _lspec((nreg + 1) * nreg, L),
+            _lspec(rows_aux, L), _bspec(1),
+        ],
+        out_specs=(_lspec(n_out, L), _bspec(nreg + nd)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, L, n_out, SUBLANES, LANES), dtype),
+            jax.ShapeDtypeStruct((nb, nreg + nd, SUBLANES, LANES), dtype),
+        ),
+        scratch_shapes=[
+            _scr(nreg, dtype), _scr(nd, dtype), _scr(nreg + 1, dtype),
+            _scr(nd2, dtype), _scr(nd2, dtype), _scr(nreg, dtype),
+            _scr(nd, dtype), _scr(nd, dtype), _scr(nd, dtype),
+            _scr(nd, dtype), _scr(nd, dtype), _scr(nreg, dtype),
+            _scr(1, dtype),
+        ],
+        interpret=interpret,
+    )(
+        _tiles_l(R), _tiles_l(T), _tiles_l(E), _tiles_l(Sdn),
+        _tiles_l(idir), _tiles_l(idif), _tiles_l(idd),
+        _tiles_l(stacks), _tiles_l(vov), _tiles_l(aux), _tiles(grd),
+    )
+    outs = _untiles_l(outs)
+    # Reversed layer indexing in the kernel already restored original order
+    out_dict = {name: outs[:, :, i] for i, name in enumerate(out_rows)}
+    return out_dict, _untiles(fin)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nd", "ns", "nreg", "hw", "interpret"),
+)
+def lw_up_sweep(R, T, p, uov, vov, reps, remit, exposed, grd, *,
+                nd, ns, nreg, hw, interpret=False):
+    """LW upward adding sweep.  grd [B, 2 + nreg] = [ground_emissivity,
+    ground_emission, frac0...].  Returns (stacks, top) with stack layout
+    [a_above | source_above | inv_denom | a_below | source_below]."""
+    B, L = R.shape[:2]
+    nb = B // TILE
+    dtype = R.dtype
+    mtot = 2 * nd + 1
+    rows_st = lw_stack_rows(nd, ns, nreg)
+    rows_top = nd * nd + nd
+
+    kernel = functools.partial(_lw_up_kernel, nd, ns, nreg, L, hw)
+    stacks, top = pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            _lspec(nd * nd), _lspec(nd * nd), _lspec(nd),
+            _lspec(nreg * (nreg + 1)), _lspec((nreg + 1) * nreg),
+            _lspec(1), _lspec(1), _lspec(1), _bspec(2 + nreg),
+        ],
+        out_specs=(_lspec(rows_st), _bspec(rows_top)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, L, rows_st, SUBLANES, LANES), dtype),
+            jax.ShapeDtypeStruct((nb, rows_top, SUBLANES, LANES), dtype),
+        ),
+        scratch_shapes=[
+            _scr(nd * nd, dtype), _scr(nd, dtype),
+            _scr(nd * nd, dtype), _scr(nd * mtot, dtype),
+            _scr(nd * nd, dtype), _scr(nd, dtype), _scr(1, dtype),
+        ],
+        interpret=interpret,
+    )(
+        _tiles_l(R), _tiles_l(T), _tiles_l(p),
+        _tiles_l(uov), _tiles_l(vov),
+        _tiles_l(reps), _tiles_l(remit), _tiles_l(exposed), _tiles(grd),
+    )
+    return _untiles_l(stacks), _untiles(top)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "with_source",
+                     "do_urban", "with_profiles", "interpret"),
+)
+def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
+                  nd, ns, nreg, hw, rmu, rtan, with_source, do_urban,
+                  with_profiles, interpret=False):
+    """LW downward flux sweep.  aux [B, L, rows] packs [f_wall(nreg) |
+    od(max(nreg-1,1)) | ab | vb | weps | sub_air | sub_vegair | sub_veg |
+    sub_wall].  Returns ({name: [B, L]}, dn_fin [B, nd])."""
+    B, L = R.shape[:2]
+    nb = B // TILE
+    dtype = R.dtype
+    nd2 = (nreg + 1) * ns
+    rows_st = lw_stack_rows(nd, ns, nreg)
+    nod = max(nreg - 1, 1)
+    rows_aux = nreg + nod + 7
+    out_rows = lw_out_rows(do_urban, nreg, with_profiles)
+    n_out = len(out_rows)
+
+    kernel = functools.partial(
+        _lw_down_kernel, nd, ns, nreg, L, hw, rmu, rtan, with_source,
+        do_urban, with_profiles, out_rows,
+    )
+    outs, fin = pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            _lspec(nd * nd, L), _lspec(nd * nd, L), _lspec(nd, L),
+            _lspec(nd * nd, L), _lspec(nd, L),
+            _lspec(rows_st, L), _lspec((nreg + 1) * nreg, L),
+            _lspec(rows_aux, L),
+        ],
+        out_specs=(_lspec(n_out, L), _bspec(nd)),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, L, n_out, SUBLANES, LANES), dtype),
+            jax.ShapeDtypeStruct((nb, nd, SUBLANES, LANES), dtype),
+        ),
+        scratch_shapes=[
+            _scr(nd, dtype), _scr(nd2, dtype), _scr(nd2, dtype),
+            _scr(nd, dtype), _scr(nd, dtype), _scr(nd, dtype),
+            _scr(nd, dtype), _scr(1, dtype),
+        ],
+        interpret=interpret,
+    )(
+        _tiles_l(R), _tiles_l(T), _tiles_l(p),
+        _tiles_l(idif), _tiles_l(isrc),
+        _tiles_l(stacks), _tiles_l(vov), _tiles_l(aux),
+    )
+    outs = _untiles_l(outs)
+    out_dict = {name: outs[:, :, i] for i, name in enumerate(out_rows)}
+    return out_dict, _untiles(fin)
