@@ -43,25 +43,21 @@ _PADE7_B = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0,
 # ----------------------------------------------------------------------
 
 def _matmul(out, a, b, n, p, m, accumulate=False, scale=None):
-    """out(n x m) = a(n x p) @ b(p x m), all [rows, 8, 128] refs."""
+    """out(n x m) = a(n x p) @ b(p x m), all [rows, 8, 128] refs.
 
-    def body_i(i, _):
-        def body_j(j, _):
-            acc = a[i * p] * b[j]  # k = 0
-            for k in range(1, p):
-                acc = acc + a[i * p + k] * b[k * m + j]
-            if scale is not None:
-                acc = acc * scale
-            if accumulate:
-                out[i * m + j] = out[i * m + j] + acc
-            else:
-                out[i * m + j] = acc
-            return 0
-
-        jax.lax.fori_loop(0, m, body_j, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n, body_i, 0)
+    Row-slab form: the inner op is a whole output row [m, 8, 128] at a
+    time (scalar-block x row-slab FMA), so the loop issues n*p vector
+    instructions instead of n*p*m — the kernel is VPU-issue-bound, not
+    scalar-overhead-bound.  All offsets are static (Python loops)."""
+    for i in range(n):
+        acc = a[i * p] * b[pl.ds(0, m)]
+        for k in range(1, p):
+            acc = acc + a[i * p + k] * b[pl.ds(k * m, m)]
+        if scale is not None:
+            acc = acc * scale
+        if accumulate:
+            acc = out[pl.ds(i * m, m)] + acc
+        out[pl.ds(i * m, m)] = acc
 
 
 def _solve_inplace(a, rhs, n, m, scratch):
@@ -69,75 +65,37 @@ def _solve_inplace(a, rhs, n, m, scratch):
 
     `a` is DESTROYED.  `scratch` is an [1, 8, 128] buffer for reciprocals.
     Matches the reference's pivot-free LU (radtool_matrix.F90:982-1055).
-    """
-
-    def elim_k(k, _):
-        scratch[0] = 1.0 / a[k * n + k]
-
-        def elim_i(i, _):
-            f = a[i * n + k] * scratch[0]
-
-            def upd_j(j, _):
-                a[i * n + j] = a[i * n + j] - f * a[k * n + j]
-                return 0
-
-            jax.lax.fori_loop(k + 1, n, upd_j, 0)
-
-            def upd_r(j, _):
-                rhs[i * m + j] = rhs[i * m + j] - f * rhs[k * m + j]
-                return 0
-
-            jax.lax.fori_loop(0, m, upd_r, 0)
-            return 0
-
-        jax.lax.fori_loop(k + 1, n, elim_i, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n - 1, elim_k, 0)
+    Row-slab form: eliminations/back-substitutions update whole rows of
+    the trailing matrix and the RHS in single vector ops."""
+    for k in range(n - 1):
+        piv = 1.0 / a[k * n + k]
+        w = n - k - 1
+        arow = a[pl.ds(k * n + k + 1, w)]
+        rrow = rhs[pl.ds(k * m, m)]
+        for i in range(k + 1, n):
+            f = a[i * n + k] * piv
+            a[pl.ds(i * n + k + 1, w)] = a[pl.ds(i * n + k + 1, w)] - f * arow
+            rhs[pl.ds(i * m, m)] = rhs[pl.ds(i * m, m)] - f * rrow
 
     # Back substitution
-    def back_i(ii, _):
-        i = n - 1 - ii
-        scratch[0] = 1.0 / a[i * n + i]
-
-        def back_j(j, _):
-            acc = rhs[i * m + j]
-
-            def sub_k(k, acc):
-                return acc - a[i * n + k] * rhs[k * m + j]
-
-            acc = jax.lax.fori_loop(i + 1, n, sub_k, acc)
-            rhs[i * m + j] = acc * scratch[0]
-            return 0
-
-        jax.lax.fori_loop(0, m, back_j, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n, back_i, 0)
+    for i in range(n - 1, -1, -1):
+        acc = rhs[pl.ds(i * m, m)]
+        for k in range(i + 1, n):
+            acc = acc - a[i * n + k] * rhs[pl.ds(k * m, m)]
+        rhs[pl.ds(i * m, m)] = acc * (1.0 / a[i * n + i])
 
 
 def _copy(dst, src, rows):
-    def body(r, _):
-        dst[r] = src[r]
-        return 0
-
-    jax.lax.fori_loop(0, rows, body, 0)
+    dst[pl.ds(0, rows)] = src[pl.ds(0, rows)]
 
 
 def _eye_fill(buf, n, rec):
     """buf(n x n) = I (rows of [8,128] blocks)."""
-
-    def bi(i, _):
-        def bj(j, _):
-            buf[i * n + j] = jnp.zeros_like(rec[0]) + jnp.where(
-                i == j, 1.0, 0.0
-            )
-            return 0
-
-        jax.lax.fori_loop(0, n, bj, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n, bi, 0)
+    z = jnp.zeros_like(rec[0])
+    o = z + 1.0
+    for i in range(n):
+        for j in range(n):
+            buf[i * n + j] = o if i == j else z
 
 
 def _schur_int_kernel(nd, ndir, int_direct, g0_ref, g1_ref, g2_ref, g3_ref,
@@ -148,122 +106,52 @@ def _schur_int_kernel(nd, ndir, int_direct, g0_ref, g1_ref, g2_ref, g3_ref,
 
     Uses G/F/W1/W2/W3 as nd*nd workspaces (all >= nd*nd rows)."""
 
-    def cp_from(dst, src_ref, rows):
-        def b(r, _):
-            dst[r] = src_ref[r]
-            return 0
-
-        jax.lax.fori_loop(0, rows, b, 0)
-
     # W2 = inv(g1):  W1 <- g1 (destroyed), W2 <- I
-    cp_from(W1, g1_ref, nd * nd)
+    _copy(W1, g1_ref, nd * nd)
     _eye_fill(W2, nd, rec)
     _solve_inplace(W1, W2, nd, nd, rec)
     # G <- inv(g1) @ g2 ; F <- g2 @ inv(g1)
-    def mm_ref_r(out, a_buf, b_ref, n):
-        def bi(i, _):
-            def bj(j, _):
-                acc = a_buf[i * n] * b_ref[j]
-                for k in range(1, n):
-                    acc = acc + a_buf[i * n + k] * b_ref[k * n + j]
-                out[i * n + j] = acc
-                return 0
-
-            jax.lax.fori_loop(0, n, bj, 0)
-            return 0
-
-        jax.lax.fori_loop(0, n, bi, 0)
-
-    def mm_ref_l(out, a_ref, b_buf, n):
-        def bi(i, _):
-            def bj(j, _):
-                acc = a_ref[i * n] * b_buf[j]
-                for k in range(1, n):
-                    acc = acc + a_ref[i * n + k] * b_buf[k * n + j]
-                out[i * n + j] = acc
-                return 0
-
-            jax.lax.fori_loop(0, n, bj, 0)
-            return 0
-
-        jax.lax.fori_loop(0, n, bi, 0)
-
-    mm_ref_r(G, W2, g2_ref, nd)  # G = inv(g1) @ g2
-    mm_ref_l(F, g2_ref, W2, nd)  # F = g2 @ inv(g1)
+    _matmul(G, W2, g2_ref, nd, nd, nd)
+    _matmul(F, g2_ref, W2, nd, nd, nd)
     # W1 = g1 - g2 @ G  (Schur complement)
-    def schur_m(i, _):
-        def bj(j, _):
-            acc = g1_ref[i * nd + j]
-            for k in range(nd):
-                acc = acc - g2_ref[i * nd + k] * G[k * nd + j]
-            W1[i * nd + j] = acc
-            return 0
-
-        jax.lax.fori_loop(0, nd, bj, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, schur_m, 0)
+    for i in range(nd):
+        acc = g1_ref[pl.ds(i * nd, nd)]
+        for k in range(nd):
+            acc = acc - g2_ref[i * nd + k] * G[pl.ds(k * nd, nd)]
+        W1[pl.ds(i * nd, nd)] = acc
     # W3 = g1i = inv(W1)
     _eye_fill(W3, nd, rec)
     _solve_inplace(W1, W3, nd, nd, rec)
     # G <- g2i = g1i @ F ; int_diff = g2i - g1i
     _matmul(G, W3, F, nd, nd, nd)
-
-    def w_idiff(r, _):
-        idiff_out[r] = G[r] - W3[r]
-        return 0
-
-    jax.lax.fori_loop(0, nd * nd, w_idiff, 0)
+    idiff_out[pl.ds(0, nd * nd)] = G[pl.ds(0, nd * nd)] - W3[pl.ds(0, nd * nd)]
 
     if int_direct:
         # W1 <- g0 (destroyed), W2 <- g0i = inv(g0); int_dir = -g0i
-        cp_from(W1, g0_ref, ndir * ndir)
+        _copy(W1, g0_ref, ndir * ndir)
         _eye_fill(W2, ndir, rec)
         _solve_inplace(W1, W2, ndir, ndir, rec)
-
-        def w_idir(r, _):
-            idir_out[r] = -W2[r]
-            return 0
-
-        jax.lax.fori_loop(0, ndir * ndir, w_idir, 0)
+        idir_out[pl.ds(0, ndir * ndir)] = -W2[pl.ds(0, ndir * ndir)]
         # F <- g3 @ g0i (nd x ndir); int_dir_diff = 2 (g1i - g2i) @ F
-        def g3g0i(i, _):
-            def bd(d, _):
-                acc = g3_ref[i * ndir] * W2[d]
-                for k in range(1, ndir):
-                    acc = acc + g3_ref[i * ndir + k] * W2[k * ndir + d]
-                F[i * ndir + d] = acc
-                return 0
-
-            jax.lax.fori_loop(0, ndir, bd, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, g3g0i, 0)
-
-        def w_idd(i, _):
-            def bd(d, _):
-                acc = jnp.zeros_like(rec[0])
-                for k in range(nd):
-                    acc = acc + (W3[i * nd + k] - G[i * nd + k]) * F[k * ndir + d]
-                idirdiff_out[i * ndir + d] = 2.0 * acc
-                return 0
-
-            jax.lax.fori_loop(0, ndir, bd, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, w_idd, 0)
+        for i in range(nd):
+            acc = g3_ref[i * ndir] * W2[pl.ds(0, ndir)]
+            for k in range(1, ndir):
+                acc = acc + g3_ref[i * ndir + k] * W2[pl.ds(k * ndir, ndir)]
+            F[pl.ds(i * ndir, ndir)] = acc
+        for i in range(nd):
+            acc = None
+            for k in range(nd):
+                t = (W3[i * nd + k] - G[i * nd + k]) * F[pl.ds(k * ndir, ndir)]
+                acc = t if acc is None else acc + t
+            idirdiff_out[pl.ds(i * ndir, ndir)] = 2.0 * acc
     else:
-        def z_idir(r, _):
-            idir_out[r] = jnp.zeros_like(rec[0])
-            return 0
-
-        jax.lax.fori_loop(0, ndir * ndir, z_idir, 0)
-
-        def z_idd(r, _):
-            idirdiff_out[r] = jnp.zeros_like(rec[0])
-            return 0
-
-        jax.lax.fori_loop(0, nd * ndir, z_idd, 0)
+        z = jnp.zeros_like(rec[0])
+        idir_out[pl.ds(0, ndir * ndir)] = jnp.broadcast_to(
+            z, (ndir * ndir,) + z.shape
+        )
+        idirdiff_out[pl.ds(0, nd * ndir)] = jnp.broadcast_to(
+            z, (nd * ndir,) + z.shape
+        )
 
 
 def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
@@ -285,54 +173,30 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
     scale_val = dz_ref[0]
 
     # ---- assemble scaled Gamma: [[-g1,-g2,-g3],[g2,g1,g3],[0,0,g0]]
-    def asm_diff(i, _):
-        def asm_j(j, _):
-            G[i * N + j] = -g1_ref[i * nd + j] * scale_val
-            G[i * N + nd + j] = -g2_ref[i * nd + j] * scale_val
-            G[(nd + i) * N + j] = g2_ref[i * nd + j] * scale_val
-            G[(nd + i) * N + nd + j] = g1_ref[i * nd + j] * scale_val
-            return 0
-
-        jax.lax.fori_loop(0, nd, asm_j, 0)
-
-        def asm_d(d, _):
-            G[i * N + 2 * nd + d] = -g3_ref[i * ndir + d] * scale_val
-            G[(nd + i) * N + 2 * nd + d] = g3_ref[i * ndir + d] * scale_val
-            return 0
-
-        jax.lax.fori_loop(0, ndir, asm_d, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, asm_diff, 0)
-
-    def asm_dir(i, _):
-        def zero_j(j, _):
-            G[(2 * nd + i) * N + j] = jnp.zeros_like(G[0])
-            return 0
-
-        jax.lax.fori_loop(0, 2 * nd, zero_j, 0)
-
-        def asm_d(d, _):
-            G[(2 * nd + i) * N + 2 * nd + d] = (
-                g0_ref[i * ndir + d] * scale_val
-            )
-            return 0
-
-        jax.lax.fori_loop(0, ndir, asm_d, 0)
-        return 0
-
-    jax.lax.fori_loop(0, ndir, asm_dir, 0)
+    zrow = jnp.zeros_like(g1_ref[pl.ds(0, 2 * nd)])
+    for i in range(nd):
+        g1row = g1_ref[pl.ds(i * nd, nd)] * scale_val
+        g2row = g2_ref[pl.ds(i * nd, nd)] * scale_val
+        g3row = g3_ref[pl.ds(i * ndir, ndir)] * scale_val
+        G[pl.ds(i * N, nd)] = -g1row
+        G[pl.ds(i * N + nd, nd)] = -g2row
+        G[pl.ds(i * N + 2 * nd, ndir)] = -g3row
+        G[pl.ds((nd + i) * N, nd)] = g2row
+        G[pl.ds((nd + i) * N + nd, nd)] = g1row
+        G[pl.ds((nd + i) * N + 2 * nd, ndir)] = g3row
+    for i in range(ndir):
+        G[pl.ds((2 * nd + i) * N, 2 * nd)] = zrow
+        G[pl.ds((2 * nd + i) * N + 2 * nd, ndir)] = (
+            g0_ref[pl.ds(i * ndir, ndir)] * scale_val
+        )
 
     # ---- norm-adaptive scaling: K from the tile-max row-sum norm
     theta = 2.0
-
-    def norm_i(i, m):
-        acc = jnp.abs(G[i * N])
-        for j in range(1, N):
-            acc = acc + jnp.abs(G[i * N + j])
-        return jnp.maximum(m, acc)
-
-    nrm = jax.lax.fori_loop(0, N, norm_i, jnp.zeros_like(G[0]))
+    nrm = jnp.zeros_like(G[0])
+    for i in range(N):
+        nrm = jnp.maximum(
+            nrm, jnp.sum(jnp.abs(G[pl.ds(i * N, N)]), axis=0)
+        )
     nmax = jnp.max(nrm)
     n_K = jnp.clip(
         jnp.ceil(jnp.log2(jnp.maximum(nmax, 1e-30) / theta)),
@@ -340,11 +204,7 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
     ).astype(jnp.int32)
     fac = jnp.exp2(-n_K.astype(nmax.dtype))
 
-    def scale_r(r, _):
-        G[r] = G[r] * fac
-        return 0
-
-    jax.lax.fori_loop(0, N * N, scale_r, 0)
+    G[pl.ds(0, N * N)] = G[pl.ds(0, N * N)] * fac
 
     # ---- Pade-7 expm: F = expm(G), 4 matmuls + 1 solve
     b = _PADE7_B
@@ -352,113 +212,54 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
     _matmul(W2, W1, W1, N, N, N)        # W2 = A4
     _matmul(W3, W1, W2, N, N, N)        # W3 = A6
     # V first (even polynomial, needs all powers): F <- b6*A6+b4*A4+b2*A2+b0*I
-    def poly_v(r, _):
-        F[r] = b[6] * W3[r] + b[4] * W2[r] + b[2] * W1[r]
-        return 0
+    F[pl.ds(0, N * N)] = (b[6] * W3[pl.ds(0, N * N)]
+                          + b[4] * W2[pl.ds(0, N * N)]
+                          + b[2] * W1[pl.ds(0, N * N)])
 
-    jax.lax.fori_loop(0, N * N, poly_v, 0)
-
-    def diag_v(i, _):
+    for i in range(N):
         F[i * N + i] = F[i * N + i] + b[0]
-        return 0
-
-    jax.lax.fori_loop(0, N, diag_v, 0)
     # Odd polynomial inner part in-place over A6, then U = G @ it -> W2
-    def poly_u(r, _):
-        W3[r] = b[7] * W3[r] + b[5] * W2[r] + b[3] * W1[r]
-        return 0
+    W3[pl.ds(0, N * N)] = (b[7] * W3[pl.ds(0, N * N)]
+                           + b[5] * W2[pl.ds(0, N * N)]
+                           + b[3] * W1[pl.ds(0, N * N)])
 
-    jax.lax.fori_loop(0, N * N, poly_u, 0)
-
-    def diag_u(i, _):
+    for i in range(N):
         W3[i * N + i] = W3[i * N + i] + b[1]
-        return 0
-
-    jax.lax.fori_loop(0, N, diag_u, 0)
     _matmul(W2, G, W3, N, N, N)         # W2 = U
     # (V - U) F = (V + U):  build V-U in W1, V+U in F (in place), solve
-    def vu(r, _):
-        W1[r] = F[r] - W2[r]
-        F[r] = F[r] + W2[r]
-        return 0
-
-    jax.lax.fori_loop(0, N * N, vu, 0)
+    W1[pl.ds(0, N * N)] = F[pl.ds(0, N * N)] - W2[pl.ds(0, N * N)]
+    F[pl.ds(0, N * N)] = F[pl.ds(0, N * N)] + W2[pl.ds(0, N * N)]
     _solve_inplace(W1, F, N, N, rec)    # F = expm(G)
 
     # ---- thin-layer extraction
     # X = F11^-1 [F12 | F13]  (nd x (nd + ndir))
     m_x = nd + ndir
 
-    def cp11(i, _):
-        def cpj(j, _):
-            W1[i * nd + j] = F[i * N + j]
-            return 0
-
-        jax.lax.fori_loop(0, nd, cpj, 0)
-
-        def cpx(j, _):
-            W2[i * m_x + j] = F[i * N + nd + j]
-            return 0
-
-        jax.lax.fori_loop(0, m_x, cpx, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, cp11, 0)
+    for i in range(nd):
+        W1[pl.ds(i * nd, nd)] = F[pl.ds(i * N, nd)]
+        W2[pl.ds(i * m_x, m_x)] = F[pl.ds(i * N + nd, m_x)]
     _solve_inplace(W1, W2, nd, m_x, rec)  # W2 = X
 
     # R = -X[:, :nd]; Sup = -X[:, nd:]
-    def thin_rs(i, _):
-        def rj(j, _):
-            RT[i * nd + j] = -W2[i * m_x + j]  # R
-            return 0
+    for i in range(nd):
+        RT[pl.ds(i * nd, nd)] = -W2[pl.ds(i * m_x, nd)]
+        SS[pl.ds(i * ndir, ndir)] = -W2[pl.ds(i * m_x + nd, ndir)]
 
-        jax.lax.fori_loop(0, nd, rj, 0)
-
-        def sj(d, _):
-            SS[i * ndir + d] = -W2[i * m_x + nd + d]  # Sup
-            return 0
-
-        jax.lax.fori_loop(0, ndir, sj, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, thin_rs, 0)
-
-    # T = F22 - F21 @ X1;  Sdn = F23 - F21 @ X2
+    # T = F22 - F21 @ X1;  Sdn = F23 - F21 @ X2  (adjacent columns: one
+    # m_x-wide row slab per i, split on store)
     off_t = nd * nd  # T offset in RT
     off_sdn = nd * ndir  # Sdn offset in SS
 
-    def thin_t2(i, _):
-        def tj(j, _):
-            acc = F[(nd + i) * N + nd + j]
-            for k in range(nd):
-                acc = acc - F[(nd + i) * N + k] * W2[k * m_x + j]
-            RT[off_t + i * nd + j] = acc
-            return 0
-
-        jax.lax.fori_loop(0, nd, tj, 0)
-
-        def sdnj(d, _):
-            acc = F[(nd + i) * N + 2 * nd + d]
-            for k in range(nd):
-                acc = acc - F[(nd + i) * N + k] * W2[k * m_x + nd + d]
-            SS[off_sdn + i * ndir + d] = acc
-            return 0
-
-        jax.lax.fori_loop(0, ndir, sdnj, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, thin_t2, 0)
+    for i in range(nd):
+        acc = F[pl.ds((nd + i) * N + nd, m_x)]
+        for k in range(nd):
+            acc = acc - F[(nd + i) * N + k] * W2[pl.ds(k * m_x, m_x)]
+        RT[pl.ds(off_t + i * nd, nd)] = acc[:nd]
+        SS[pl.ds(off_sdn + i * ndir, ndir)] = acc[nd:]
 
     # E = F33
-    def thin_e(i, _):
-        def ej(d, _):
-            EE[i * ndir + d] = F[(2 * nd + i) * N + 2 * nd + d]
-            return 0
-
-        jax.lax.fori_loop(0, ndir, ej, 0)
-        return 0
-
-    jax.lax.fori_loop(0, ndir, thin_e, 0)
+    for i in range(ndir):
+        EE[pl.ds(i * ndir, ndir)] = F[pl.ds((2 * nd + i) * N + 2 * nd, ndir)]
 
     # ---- K doubling steps (combine layer with itself)
     # Buffers: RT = [R | T | Vt | tmp]; SS = [Sup | Sdn | S_mid | SupE];
@@ -471,179 +272,85 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
 
     def _dbl_step(_step, _):
         # SupE = Sup @ E ; S_mid = Sdn + R @ SupE
-        def supe(i, _):
-            def dj(d, _):
-                acc = SS[i * ndir] * EE[d]
-                for k in range(1, ndir):
-                    acc = acc + SS[i * ndir + k] * EE[k * ndir + d]
-                SS[off_supe + i * ndir + d] = acc
-                return 0
-
-            jax.lax.fori_loop(0, ndir, dj, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, supe, 0)
-
-        def smid(i, _):
-            def dj(d, _):
-                acc = SS[off_sdn + i * ndir + d]
-                for k in range(nd):
-                    acc = acc + RT[i * nd + k] * SS[off_supe + k * ndir + d]
-                SS[off_smid + i * ndir + d] = acc
-                return 0
-
-            jax.lax.fori_loop(0, ndir, dj, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, smid, 0)
+        for i in range(nd):
+            acc = SS[i * ndir] * EE[pl.ds(0, ndir)]
+            for k in range(1, ndir):
+                acc = acc + SS[i * ndir + k] * EE[pl.ds(k * ndir, ndir)]
+            SS[pl.ds(off_supe + i * ndir, ndir)] = acc
+        for i in range(nd):
+            acc = SS[pl.ds(off_sdn + i * ndir, ndir)]
+            for k in range(nd):
+                acc = acc + RT[i * nd + k] * SS[pl.ds(off_supe + k * ndir, ndir)]
+            SS[pl.ds(off_smid + i * ndir, ndir)] = acc
 
         # W1 = I - R@R ; RHS W2 = [T | S_mid]  (nd x (nd+ndir))
-        def denom(i, _):
-            def dj(j, _):
-                acc = RT[i * nd] * RT[j]
-                for k in range(1, nd):
-                    acc = acc + RT[i * nd + k] * RT[k * nd + j]
-                W1[i * nd + j] = jnp.where(i == j, 1.0, 0.0) - acc
-                return 0
-
-            jax.lax.fori_loop(0, nd, dj, 0)
-
-            def rj(j, _):
-                W2[i * m_x + j] = RT[off_t + i * nd + j]
-                return 0
-
-            jax.lax.fori_loop(0, nd, rj, 0)
-
-            def sj(d, _):
-                W2[i * m_x + nd + d] = SS[off_smid + i * ndir + d]
-                return 0
-
-            jax.lax.fori_loop(0, ndir, sj, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, denom, 0)
+        for i in range(nd):
+            acc = RT[i * nd] * RT[pl.ds(0, nd)]
+            for k in range(1, nd):
+                acc = acc + RT[i * nd + k] * RT[pl.ds(k * nd, nd)]
+            W1[pl.ds(i * nd, nd)] = -acc
+            W1[i * nd + i] = W1[i * nd + i] + 1.0
+            W2[pl.ds(i * m_x, nd)] = RT[pl.ds(off_t + i * nd, nd)]
+            W2[pl.ds(i * m_x + nd, ndir)] = SS[pl.ds(off_smid + i * ndir, ndir)]
         _solve_inplace(W1, W2, nd, m_x, rec)  # W2 = [Vt | Vs]
 
-        # tmp = R @ Vt (for R update) and R @ Vs + SupE (for Sup update)
-        def rv(i, _):
-            def vj(j, _):
-                acc = RT[i * nd] * W2[j]
-                for k in range(1, nd):
-                    acc = acc + RT[i * nd + k] * W2[k * m_x + j]
-                RT[off_tmp + i * nd + j] = acc  # R@Vt
-                return 0
-
-            jax.lax.fori_loop(0, nd, vj, 0)
-
-            def vs(d, _):
-                acc = SS[off_supe + i * ndir + d]
-                for k in range(nd):
-                    acc = acc + RT[i * nd + k] * W2[k * m_x + nd + d]
-                # store R@Vs + SupE into W3 rows (reuse W3 as nd x ndir)
-                W3[i * ndir + d] = acc
-                return 0
-
-            jax.lax.fori_loop(0, ndir, vs, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, rv, 0)
+        # tmp = R @ [Vt | Vs] (+ SupE on the Vs part, for the Sup update)
+        for i in range(nd):
+            acc = RT[i * nd] * W2[pl.ds(0, m_x)]
+            for k in range(1, nd):
+                acc = acc + RT[i * nd + k] * W2[pl.ds(k * m_x, m_x)]
+            RT[pl.ds(off_tmp + i * nd, nd)] = acc[:nd]  # R@Vt
+            # R@Vs + SupE into W3 rows (reuse W3 as nd x ndir)
+            W3[pl.ds(i * ndir, ndir)] = (
+                acc[nd:] + SS[pl.ds(off_supe + i * ndir, ndir)]
+            )
 
         # R_new = R + T @ (R@Vt);  Sup_new = Sup + T @ (R@Vs + SupE)
         # T_new = T @ Vt;          Sdn_new = T @ Vs + Sdn @ E
-        def upd(i, _):
-            def rj(j, _):
-                acc = RT[i * nd + j]
-                acc_t = jnp.zeros_like(acc)
-                for k in range(nd):
-                    acc = acc + RT[off_t + i * nd + k] * RT[off_tmp + k * nd + j]
-                    acc_t = acc_t + RT[off_t + i * nd + k] * W2[k * m_x + j]
-                # write into W1 (R_new) and F (T_new) temporarily
-                W1[i * nd + j] = acc
-                F[i * nd + j] = acc_t
-                return 0
-
-            jax.lax.fori_loop(0, nd, rj, 0)
-
-            def sj(d, _):
-                acc_up = SS[i * ndir + d]
-                acc_dn = jnp.zeros_like(acc_up)
-                for k in range(nd):
-                    acc_up = acc_up + RT[off_t + i * nd + k] * W3[k * ndir + d]
-                    acc_dn = acc_dn + RT[off_t + i * nd + k] * W2[k * m_x + nd + d]
-                for k in range(ndir):
-                    acc_dn = acc_dn + SS[off_sdn + i * ndir + k] * EE[k * ndir + d]
-                # stash in W3 upper region (reuse rows nd*ndir..)
-                W3[nd * ndir + i * ndir + d] = acc_up
-                W3[2 * nd * ndir + i * ndir + d] = acc_dn
-                return 0
-
-            jax.lax.fori_loop(0, ndir, sj, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, upd, 0)
+        for i in range(nd):
+            acc_r = RT[pl.ds(i * nd, nd)]
+            acc_t = None
+            acc_up = SS[pl.ds(i * ndir, ndir)]
+            for k in range(nd):
+                tik = RT[off_t + i * nd + k]
+                acc_r = acc_r + tik * RT[pl.ds(off_tmp + k * nd, nd)]
+                tv = tik * W2[pl.ds(k * m_x, m_x)]
+                acc_t = tv if acc_t is None else acc_t + tv
+                acc_up = acc_up + tik * W3[pl.ds(k * ndir, ndir)]
+            acc_dn = acc_t[nd:]
+            for k in range(ndir):
+                acc_dn = acc_dn + (
+                    SS[off_sdn + i * ndir + k] * EE[pl.ds(k * ndir, ndir)]
+                )
+            # stash new operators in W1 (R), F (T), W3 upper regions
+            W1[pl.ds(i * nd, nd)] = acc_r
+            F[pl.ds(i * nd, nd)] = acc_t[:nd]
+            W3[pl.ds(nd * ndir + i * ndir, ndir)] = acc_up
+            W3[pl.ds(2 * nd * ndir + i * ndir, ndir)] = acc_dn
 
         # E_new = E @ E
-        def enew(i, _):
-            def ej(d, _):
-                acc = EE[i * ndir] * EE[d]
-                for k in range(1, ndir):
-                    acc = acc + EE[i * ndir + k] * EE[k * ndir + d]
-                EE[off_e2 + i * ndir + d] = acc
-                return 0
-
-            jax.lax.fori_loop(0, ndir, ej, 0)
-            return 0
-
-        jax.lax.fori_loop(0, ndir, enew, 0)
+        for i in range(ndir):
+            acc = EE[i * ndir] * EE[pl.ds(0, ndir)]
+            for k in range(1, ndir):
+                acc = acc + EE[i * ndir + k] * EE[pl.ds(k * ndir, ndir)]
+            EE[pl.ds(off_e2 + i * ndir, ndir)] = acc
 
         # commit
-        def commit(i, _):
-            def cj(j, _):
-                RT[i * nd + j] = W1[i * nd + j]
-                RT[off_t + i * nd + j] = F[i * nd + j]
-                return 0
-
-            jax.lax.fori_loop(0, nd, cj, 0)
-
-            def cs(d, _):
-                SS[i * ndir + d] = W3[nd * ndir + i * ndir + d]
-                SS[off_sdn + i * ndir + d] = W3[2 * nd * ndir + i * ndir + d]
-                return 0
-
-            jax.lax.fori_loop(0, ndir, cs, 0)
-            return 0
-
-        jax.lax.fori_loop(0, nd, commit, 0)
-
-        def commit_e(i, _):
-            def ce(d, _):
-                EE[i * ndir + d] = EE[off_e2 + i * ndir + d]
-                return 0
-
-            jax.lax.fori_loop(0, ndir, ce, 0)
-            return 0
-
-        jax.lax.fori_loop(0, ndir, commit_e, 0)
+        RT[pl.ds(0, nd * nd)] = W1[pl.ds(0, nd * nd)]
+        RT[pl.ds(off_t, nd * nd)] = F[pl.ds(0, nd * nd)]
+        SS[pl.ds(0, nd * ndir)] = W3[pl.ds(nd * ndir, nd * ndir)]
+        SS[pl.ds(off_sdn, nd * ndir)] = W3[pl.ds(2 * nd * ndir, nd * ndir)]
+        EE[pl.ds(0, ndir * ndir)] = EE[pl.ds(off_e2, ndir * ndir)]
         return 0
 
     jax.lax.fori_loop(0, n_K, _dbl_step, 0)
 
     # ---- write outputs
     _copy(r_out, RT, nd * nd)
-
-    def wt(r, _):
-        t_out[r] = RT[off_t + r]
-        return 0
-
-    jax.lax.fori_loop(0, nd * nd, wt, 0)
+    t_out[pl.ds(0, nd * nd)] = RT[pl.ds(off_t, nd * nd)]
     _copy(e_out, EE, ndir * ndir)
     _copy(sup_out, SS, nd * ndir)
-
-    def wsdn(r, _):
-        sdn_out[r] = SS[off_sdn + r]
-        return 0
-
-    jax.lax.fori_loop(0, nd * ndir, wsdn, 0)
+    sdn_out[pl.ds(0, nd * ndir)] = SS[pl.ds(off_sdn, nd * ndir)]
 
 
 @functools.partial(

@@ -38,109 +38,68 @@ def _mm(out, ob, a, ab, b, bb, n, p, m, *, ostride=None, bstride=None,
         accumulate=False, eye_minus=False):
     """out[ob + i*ostride + j] (+)= sum_k a[ab+i*p+k] * b[bb+k*bstride+j]
     for the (n x m) result of an (n x p) @ (p x m) product.  eye_minus
-    instead writes I - A@B (n == m)."""
+    instead writes I - A@B (n == m).
+
+    Row-slab form (see ops/pallas_layer._matmul): one [m, 8, 128] output
+    row per inner op, static offsets."""
     ostride = m if ostride is None else ostride
     bstride = m if bstride is None else bstride
 
-    def bi(i, _):
-        def bj(j, _):
-            acc = a[ab + i * p] * b[bb + j]
-            for k in range(1, p):
-                acc = acc + a[ab + i * p + k] * b[bb + k * bstride + j]
-            if eye_minus:
-                out[ob + i * ostride + j] = jnp.where(i == j, 1.0, 0.0) - acc
-            elif accumulate:
-                out[ob + i * ostride + j] = out[ob + i * ostride + j] + acc
-            else:
-                out[ob + i * ostride + j] = acc
-            return 0
-
-        jax.lax.fori_loop(0, m, bj, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n, bi, 0)
+    for i in range(n):
+        acc = a[ab + i * p] * b[pl.ds(bb, m)]
+        for k in range(1, p):
+            acc = acc + a[ab + i * p + k] * b[pl.ds(bb + k * bstride, m)]
+        if eye_minus:
+            acc = -acc
+        elif accumulate:
+            acc = out[pl.ds(ob + i * ostride, m)] + acc
+        out[pl.ds(ob + i * ostride, m)] = acc
+        if eye_minus:
+            out[ob + i * ostride + i] = out[ob + i * ostride + i] + 1.0
 
 
 def _mv(out, ob, a, ab, x, xb, n, p, *, accumulate=False):
-    """out[ob + i] (+)= sum_k a[ab + i*p + k] * x[xb + k]."""
+    """out[ob + i] (+)= sum_k a[ab + i*p + k] * x[xb + k].
 
-    def bi(i, _):
-        acc = a[ab + i * p] * x[xb]
-        for k in range(1, p):
-            acc = acc + a[ab + i * p + k] * x[xb + k]
+    Contraction form: elementwise row-slab product + axis-0 reduction."""
+    xs = x[pl.ds(xb, p)]
+    for i in range(n):
+        acc = jnp.sum(a[pl.ds(ab + i * p, p)] * xs, axis=0)
         if accumulate:
-            out[ob + i] = out[ob + i] + acc
-        else:
-            out[ob + i] = acc
-        return 0
-
-    jax.lax.fori_loop(0, n, bi, 0)
+            acc = out[ob + i] + acc
+        out[ob + i] = acc
 
 
 def _solve_off(a, ab, rhs, rb, n, m, rec):
     """Pivot-free in-place solve a(n x n) X = rhs(n x m) at row offsets;
-    `a` destroyed, X overwrites rhs (cf. radtool_matrix.F90:982-1055)."""
+    `a` destroyed, X overwrites rhs (cf. radtool_matrix.F90:982-1055).
+    Row-slab form."""
+    for k in range(n - 1):
+        piv = 1.0 / a[ab + k * n + k]
+        w = n - k - 1
+        arow = a[pl.ds(ab + k * n + k + 1, w)]
+        rrow = rhs[pl.ds(rb + k * m, m)]
+        for i in range(k + 1, n):
+            f = a[ab + i * n + k] * piv
+            a[pl.ds(ab + i * n + k + 1, w)] = (
+                a[pl.ds(ab + i * n + k + 1, w)] - f * arow
+            )
+            rhs[pl.ds(rb + i * m, m)] = rhs[pl.ds(rb + i * m, m)] - f * rrow
 
-    def elim_k(k, _):
-        rec[0] = 1.0 / a[ab + k * n + k]
-
-        def elim_i(i, _):
-            f = a[ab + i * n + k] * rec[0]
-
-            def upd_j(j, _):
-                a[ab + i * n + j] = a[ab + i * n + j] - f * a[ab + k * n + j]
-                return 0
-
-            jax.lax.fori_loop(k + 1, n, upd_j, 0)
-
-            def upd_r(j, _):
-                rhs[rb + i * m + j] = rhs[rb + i * m + j] - f * rhs[rb + k * m + j]
-                return 0
-
-            jax.lax.fori_loop(0, m, upd_r, 0)
-            return 0
-
-        jax.lax.fori_loop(k + 1, n, elim_i, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n - 1, elim_k, 0)
-
-    def back_i(ii, _):
-        i = n - 1 - ii
-        rec[0] = 1.0 / a[ab + i * n + i]
-
-        def back_j(j, _):
-            acc = rhs[rb + i * m + j]
-
-            def sub_k(k, acc):
-                return acc - a[ab + i * n + k] * rhs[rb + k * m + j]
-
-            acc = jax.lax.fori_loop(i + 1, n, sub_k, acc)
-            rhs[rb + i * m + j] = acc * rec[0]
-            return 0
-
-        jax.lax.fori_loop(0, m, back_j, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n, back_i, 0)
+    for i in range(n - 1, -1, -1):
+        acc = rhs[pl.ds(rb + i * m, m)]
+        for k in range(i + 1, n):
+            acc = acc - a[ab + i * n + k] * rhs[pl.ds(rb + k * m, m)]
+        rhs[pl.ds(rb + i * m, m)] = acc * (1.0 / a[ab + i * n + i])
 
 
 def _cp(dst, db, src, sb, rows):
-    def b(r, _):
-        dst[db + r] = src[sb + r]
-        return 0
-
-    jax.lax.fori_loop(0, rows, b, 0)
+    dst[pl.ds(db, rows)] = src[pl.ds(sb, rows)]
 
 
 def _zero(dst, db, rows, zlike):
     z = jnp.zeros_like(zlike[0])
-
-    def b(r, _):
-        dst[db + r] = z
-        return 0
-
-    jax.lax.fori_loop(0, rows, b, 0)
+    dst[pl.ds(db, rows)] = jnp.broadcast_to(z, (rows,) + z.shape)
 
 
 # ----------------------------------------------------------------------
@@ -190,52 +149,34 @@ def _sw_up_kernel(nd, ns, nreg, nlay, hw,
     _mm(RHS, nd, AA, 0, Sdn, 0, nd, nd, nreg, ostride=mtot, bstride=nreg,
         accumulate=True)
 
-    def eye_i(i, _):
-        for j in range(nd):
-            RHS[i * mtot + nd + nreg + j] = jnp.zeros_like(
-                rec[0]
-            ) + jnp.where(i == j, 1.0, 0.0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, eye_i, 0)
+    z = jnp.zeros_like(rec[0])
+    o = z + 1.0
+    for i in range(nd):
+        RHS[pl.ds(i * mtot + nd + nreg, nd)] = jnp.stack(
+            [o if j == i else z for j in range(nd)]
+        )
     _solve_off(W1, 0, RHS, 0, nd, mtot, rec)
 
     # Emit the entry carry + inv(denom) (the down-sweeps' "above" operators)
     _cp(stacks, s_aa, AA, 0, nd * nd)
     _cp(stacks, s_da, DA, 0, nd * nreg)
-
-    def inv_i(i, _):
-        def inv_j(j, _):
-            stacks[s_inv + i * nd + j] = RHS[i * mtot + nd + nreg + j]
-            return 0
-
-        jax.lax.fori_loop(0, nd, inv_j, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, inv_i, 0)
+    for i in range(nd):
+        stacks[pl.ds(s_inv + i * nd, nd)] = RHS[pl.ds(i * mtot + nd + nreg, nd)]
 
     # a_below / d_below incl. exposed-roof rows
     # (radsurf_urban_sw.F90:607-643), written straight into the stack
     _zero(stacks, s_ab, nd2 * nd2, rec)
     _zero(stacks, s_db, nd2 * nregp, rec)
 
-    def ab_i(i, _):
-        def ab_j(j, _):
-            acc = R[i * nd + j]
-            for k in range(nd):
-                acc = acc + T[i * nd + k] * RHS[k * mtot + j]
-            stacks[s_ab + i * nd2 + j] = acc
-            return 0
-
-        jax.lax.fori_loop(0, nd, ab_j, 0)
-        for r in range(nreg):
-            acc = Sup[i * nreg + r]
-            for k in range(nd):
-                acc = acc + T[i * nd + k] * RHS[k * mtot + nd + r]
-            stacks[s_db + i * nregp + r] = acc
-        return 0
-
-    jax.lax.fori_loop(0, nd, ab_i, 0)
+    for i in range(nd):
+        acc = R[pl.ds(i * nd, nd)]
+        acc_d = Sup[pl.ds(i * nreg, nreg)]
+        for k in range(nd):
+            tik = T[i * nd + k]
+            acc = acc + tik * RHS[pl.ds(k * mtot, nd)]
+            acc_d = acc_d + tik * RHS[pl.ds(k * mtot + nd, nreg)]
+        stacks[pl.ds(s_ab + i * nd2, nd)] = acc
+        stacks[pl.ds(s_db + i * nregp, nreg)] = acc_d
     for u in range(ns):
         for v in range(ns):
             # a_roof(to, fr) = albedo * hweight(to)
@@ -245,33 +186,35 @@ def _sw_up_kernel(nd, ns, nreg, nlay, hw,
 
     # Overlap translation to above the interface
     # (radsurf_urban_sw.F90:646-653): (u (x) I_ns) @ below @ (v (x) I_ns)
+    # Row-slab over the stream column index; the (q, r) region contraction
+    # is a scalar-coefficient accumulation of ns-wide slabs.
     for t in range(nreg):
-        for f in range(nreg):
-            def ov_a(a, _):
-                for b in range(ns):
-                    acc = None
-                    for q in range(nregp):
-                        for r in range(nregp):
-                            term = (
-                                uov[t * nregp + q]
-                                * stacks[s_ab + (q * ns + a) * nd2 + r * ns + b]
-                                * vov[r * nreg + f]
-                            )
-                            acc = term if acc is None else acc + term
-                    TMP[(t * ns + a) * nd + f * ns + b] = acc
+        for a in range(ns):
+            row = (t * ns + a) * nd
+            drow = (t * ns + a) * nreg
+            dacc = None
+            for f in range(nreg):
                 acc = None
                 for q in range(nregp):
+                    uq = uov[t * nregp + q]
                     for r in range(nregp):
-                        term = (
-                            uov[t * nregp + q]
-                            * stacks[s_db + (q * ns + a) * nregp + r]
-                            * vov[r * nreg + f]
-                        )
+                        cf = uq * vov[r * nreg + f]
+                        term = cf * stacks[
+                            pl.ds(s_ab + (q * ns + a) * nd2 + r * ns, ns)
+                        ]
                         acc = term if acc is None else acc + term
-                TMPD[(t * ns + a) * nreg + f] = acc
-                return 0
-
-            jax.lax.fori_loop(0, ns, ov_a, 0)
+                TMP[pl.ds(row + f * ns, ns)] = acc
+            for q in range(nregp):
+                term = uov[t * nregp + q] * stacks[
+                    pl.ds(s_db + (q * ns + a) * nregp, nregp)
+                ]
+                dacc = term if dacc is None else dacc + term
+            for f in range(nreg):
+                acc = None
+                for r in range(nregp):
+                    term = dacc[r] * vov[r * nreg + f]
+                    acc = term if acc is None else acc + term
+                TMPD[drow + f] = acc
 
     _cp(AA, 0, TMP, 0, nd * nd)
     _cp(DA, 0, TMPD, 0, nd * nreg)
@@ -317,85 +260,58 @@ def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
             DDIF[i] = (z + hw[i]) if (not with_direct and i < ns) else z
 
     # Translate across the interface at layer top (:707-714)
-    def tr_q(q, _):
-        acc = vov[q * nreg] * DDIR[0]
+    for q in range(nregp):
+        accd = vov[q * nreg] * DDIR[0]
+        accf = vov[q * nreg] * DDIF[pl.ds(0, ns)]
         for r in range(1, nreg):
-            acc = acc + vov[q * nreg + r] * DDIR[r]
-        DBD[q] = acc
-        for n in range(ns):
-            acc = vov[q * nreg] * DDIF[n]
-            for r in range(1, nreg):
-                acc = acc + vov[q * nreg + r] * DDIF[r * ns + n]
-            DBF[q * ns + n] = acc
-        return 0
-
-    jax.lax.fori_loop(0, nregp, tr_q, 0)
+            accd = accd + vov[q * nreg + r] * DDIR[r]
+            accf = accf + vov[q * nreg + r] * DDIF[pl.ds(r * ns, ns)]
+        DBD[q] = accd
+        DBF[pl.ds(q * ns, ns)] = accf
     _mv(UPB, 0, stacks, s_ab, DBF, 0, nd2, nd2)
     if with_direct:
-        def upd_i(i, _):
-            acc = UPB[i]
-            for r in range(nregp):
-                acc = acc + stacks[s_db + i * nregp + r] * DBD[r]
-            UPB[i] = acc
-            return 0
-
-        jax.lax.fori_loop(0, nd2, upd_i, 0)
+        _mv(UPB, 0, stacks, s_db, DBD, 0, nd2, nregp, accumulate=True)
 
     # Roof fluxes (:716-721)
     roof_in_dir = zcos * DBD[nreg] if with_direct else z
-    roof_in = DBF[nd]
-    roof_up = UPB[nd]
-    for n in range(1, ns):
-        roof_in = roof_in + DBF[nd + n]
-        roof_up = roof_up + UPB[nd + n]
+    roof_in = jnp.sum(DBF[pl.ds(nd, ns)], axis=0)
+    roof_up = jnp.sum(UPB[pl.ds(nd, ns)], axis=0)
     if with_direct:
         roof_in = roof_in + roof_in_dir
 
     # Fluxes at layer base (:723-735)
     if with_direct:
-        def ddn_r(r, _):
+        for r in range(nreg):
             acc = E[r * nreg] * DBD[0]
             for q in range(1, nreg):
                 acc = acc + E[r * nreg + q] * DBD[q]
             DDN[r] = acc
-            return 0
-
-        jax.lax.fori_loop(0, nreg, ddn_r, 0)
         _mv(REF, 0, stacks, s_da, DDN, 0, nd, nreg)
 
-        def rhs_i(i, _):
-            acc = T[i * nd] * DBF[0]
-            for k in range(1, nd):
-                acc = acc + T[i * nd + k] * DBF[k]
-            for k in range(nd):
-                acc = acc + R[i * nd + k] * REF[k]
-            for r in range(nreg):
-                acc = acc + Sdn[i * nreg + r] * DBD[r]
-            WRK[i] = acc
-            return 0
-
-        jax.lax.fori_loop(0, nd, rhs_i, 0)
+        dbf_s = DBF[pl.ds(0, nd)]
+        ref_s = REF[pl.ds(0, nd)]
+        dbd_s = DBD[pl.ds(0, nreg)]
+        for i in range(nd):
+            WRK[i] = (
+                jnp.sum(T[pl.ds(i * nd, nd)] * dbf_s, axis=0)
+                + jnp.sum(R[pl.ds(i * nd, nd)] * ref_s, axis=0)
+                + jnp.sum(Sdn[pl.ds(i * nreg, nreg)] * dbd_s, axis=0)
+            )
     else:
         _mv(WRK, 0, T, 0, DBF, 0, nd, nd)
     _mv(DNN, 0, stacks, s_inv, WRK, 0, nd, nd)
     _mv(UPA, 0, stacks, s_aa, DNN, 0, nd, nd)
     if with_direct:
-        def upa_i(i, _):
-            UPA[i] = UPA[i] + REF[i]
-            return 0
-
-        jax.lax.fori_loop(0, nd, upa_i, 0)
+        UPA[pl.ds(0, nd)] = UPA[pl.ds(0, nd)] + REF[pl.ds(0, nd)]
 
     # Integrated fluxes (:753-761): conv -> int matrices (in WRK/IFD/IFR)
-    def conv_i(i, _):
-        WRK[i] = DBF[i] - DNN[i] - UPB[i] + UPA[i]
-        return 0
-
-    jax.lax.fori_loop(0, nd, conv_i, 0)
+    WRK[pl.ds(0, nd)] = (
+        DBF[pl.ds(0, nd)] - DNN[pl.ds(0, nd)]
+        - UPB[pl.ds(0, nd)] + UPA[pl.ds(0, nd)]
+    )
     _mv(IFD, 0, idif, 0, WRK, 0, nd, nd)
     if with_direct:
-        for r in range(nreg):
-            DBD[r] = DBD[r] - DDN[r]  # conv_dir (DBD reused)
+        DBD[pl.ds(0, nreg)] = DBD[pl.ds(0, nreg)] - DDN[pl.ds(0, nreg)]
         _mv(IFR, 0, idir, 0, DBD, 0, nreg, nreg)
         _mv(IFD, 0, idd, 0, DBD, 0, nd, nreg, accumulate=True)
     else:
@@ -403,16 +319,14 @@ def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
             IFR[r] = z
 
     # Absorption (:763-788) + wall (:790-802)
+    rmu_s = jnp.stack([z + rmu[n] for n in range(ns)])
+    rtan_s = jnp.stack([z + rtan[n] for n in range(ns)])
     ifd_mu = []
     ifd_tan = []
     for r in range(nreg):
-        am = IFD[r * ns] * rmu[0]
-        at = IFD[r * ns] * rtan[0]
-        for n in range(1, ns):
-            am = am + IFD[r * ns + n] * rmu[n]
-            at = at + IFD[r * ns + n] * rtan[n]
-        ifd_mu.append(am)
-        ifd_tan.append(at)
+        row = IFD[pl.ds(r * ns, ns)]
+        ifd_mu.append(jnp.sum(row * rmu_s, axis=0))
+        ifd_tan.append(jnp.sum(row * rtan_s, axis=0))
 
     row = {}
     row["roof_in"] = roof_in
@@ -448,27 +362,18 @@ def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
         row["wall_in"] = wall_in
         row["wall_net"] = wall_in * (1.0 - aux[a_wa])
     if with_profiles:
-        sdt = DBF[0]
-        sut = UPB[0]
-        for i in range(1, nd):
-            sdt = sdt + DBF[i]
-            sut = sut + UPB[i]
-        sdb = DNN[0]
-        sub = UPA[0]
-        for i in range(1, nd):
-            sdb = sdb + DNN[i]
-            sub = sub + UPA[i]
+        sdt = jnp.sum(DBF[pl.ds(0, nd)], axis=0)
+        sut = jnp.sum(UPB[pl.ds(0, nd)], axis=0)
+        sdb = jnp.sum(DNN[pl.ds(0, nd)], axis=0)
+        sub = jnp.sum(UPA[pl.ds(0, nd)], axis=0)
         if with_direct:
             # DBD now holds conv_dir; recover dn_dir_below = conv + DDN
-            ddt = DBD[0] + DDN[0]
-            ddb = DDN[0]
-            for r in range(1, nreg):
-                ddt = ddt + DBD[r] + DDN[r]
-                ddb = ddb + DDN[r]
+            ddn_sum = jnp.sum(DDN[pl.ds(0, nreg)], axis=0)
+            ddt = jnp.sum(DBD[pl.ds(0, nreg)], axis=0) + ddn_sum
             row["flux_dn_dir_layer_top"] = zcos * ddt
-            row["flux_dn_dir_layer_base"] = zcos * ddb
+            row["flux_dn_dir_layer_base"] = zcos * ddn_sum
             sdt = sdt + zcos * ddt
-            sdb = sdb + zcos * ddb
+            sdb = sdb + zcos * ddn_sum
         row["flux_dn_layer_top"] = sdt
         row["flux_up_layer_top"] = sut
         row["flux_dn_layer_base"] = sdb
@@ -526,52 +431,35 @@ def _lw_up_kernel(nd, ns, nreg, nlay, hw,
     _mm(W1, 0, AA, 0, R, 0, nd, nd, nd, eye_minus=True)
     _mm(RHS, 0, AA, 0, T, 0, nd, nd, nd, ostride=mtot)
 
-    def src_i(i, _):
-        acc = SRC[i]
-        for k in range(nd):
-            acc = acc + AA[i * nd + k] * p[k]
-        RHS[i * mtot + nd] = acc
-        for j in range(nd):
-            RHS[i * mtot + nd + 1 + j] = jnp.zeros_like(
-                rec[0]
-            ) + jnp.where(i == j, 1.0, 0.0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, src_i, 0)
+    z = jnp.zeros_like(rec[0])
+    o = z + 1.0
+    ps = p[pl.ds(0, nd)]
+    for i in range(nd):
+        RHS[i * mtot + nd] = SRC[i] + jnp.sum(
+            AA[pl.ds(i * nd, nd)] * ps, axis=0
+        )
+        RHS[pl.ds(i * mtot + nd + 1, nd)] = jnp.stack(
+            [o if j == i else z for j in range(nd)]
+        )
     _solve_off(W1, 0, RHS, 0, nd, mtot, rec)
 
     _cp(stacks, s_aa, AA, 0, nd * nd)
     _cp(stacks, s_sa, SRC, 0, nd)
-
-    def inv_i(i, _):
-        def inv_j(j, _):
-            stacks[s_inv + i * nd + j] = RHS[i * mtot + nd + 1 + j]
-            return 0
-
-        jax.lax.fori_loop(0, nd, inv_j, 0)
-        return 0
-
-    jax.lax.fori_loop(0, nd, inv_i, 0)
+    for i in range(nd):
+        stacks[pl.ds(s_inv + i * nd, nd)] = RHS[pl.ds(i * mtot + nd + 1, nd)]
 
     # a_below / source_below incl. exposed-roof rows (Eq. 34; :583-605)
     _zero(stacks, s_ab, nd2 * nd2, rec)
 
-    def ab_i(i, _):
-        def ab_j(j, _):
-            acc = R[i * nd + j]
-            for k in range(nd):
-                acc = acc + T[i * nd + k] * RHS[k * mtot + j]
-            stacks[s_ab + i * nd2 + j] = acc
-            return 0
-
-        jax.lax.fori_loop(0, nd, ab_j, 0)
-        acc = p[i]
+    for i in range(nd):
+        acc = R[pl.ds(i * nd, nd)]
+        acc_s = p[i]
         for k in range(nd):
-            acc = acc + T[i * nd + k] * RHS[k * mtot + nd]
-        stacks[s_sb + i] = acc
-        return 0
-
-    jax.lax.fori_loop(0, nd, ab_i, 0)
+            tik = T[i * nd + k]
+            acc = acc + tik * RHS[pl.ds(k * mtot, nd)]
+            acc_s = acc_s + tik * RHS[k * mtot + nd]
+        stacks[pl.ds(s_ab + i * nd2, nd)] = acc
+        stacks[s_sb + i] = acc_s
     for u in range(ns):
         for v in range(ns):
             # a_roof(to, fr) = (1 - emissivity) * hweight(to)
@@ -580,32 +468,24 @@ def _lw_up_kernel(nd, ns, nreg, nlay, hw,
 
     # Overlap translation (radsurf_urban_lw.F90:620-627)
     for t in range(nreg):
-        for f in range(nreg):
-            def ov_a(a, _):
-                for b in range(ns):
-                    acc = None
-                    for q in range(nregp):
-                        for r in range(nregp):
-                            term = (
-                                uov[t * nregp + q]
-                                * stacks[s_ab + (q * ns + a) * nd2 + r * ns + b]
-                                * vov[r * nreg + f]
-                            )
-                            acc = term if acc is None else acc + term
-                    TMP[(t * ns + a) * nd + f * ns + b] = acc
-                return 0
-
-            jax.lax.fori_loop(0, ns, ov_a, 0)
+        for a in range(ns):
+            row = (t * ns + a) * nd
+            for f in range(nreg):
+                acc = None
+                for q in range(nregp):
+                    uq = uov[t * nregp + q]
+                    for r in range(nregp):
+                        cf = uq * vov[r * nreg + f]
+                        term = cf * stacks[
+                            pl.ds(s_ab + (q * ns + a) * nd2 + r * ns, ns)
+                        ]
+                        acc = term if acc is None else acc + term
+                TMP[pl.ds(row + f * ns, ns)] = acc
     for t in range(nreg):
-        def ov_s(a, _):
-            acc = None
-            for q in range(nregp):
-                term = uov[t * nregp + q] * stacks[s_sb + q * ns + a]
-                acc = term if acc is None else acc + term
-            TMPS[t * ns + a] = acc
-            return 0
-
-        jax.lax.fori_loop(0, ns, ov_s, 0)
+        acc = uov[t * nregp] * stacks[pl.ds(s_sb, ns)]
+        for q in range(1, nregp):
+            acc = acc + uov[t * nregp + q] * stacks[pl.ds(s_sb + q * ns, ns)]
+        TMPS[pl.ds(t * ns, ns)] = acc
 
     _cp(AA, 0, TMP, 0, nd * nd)
     _cp(SRC, 0, TMPS, 0, nd)
@@ -647,73 +527,47 @@ def _lw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_source, do_urban,
         for i in range(nd):
             DN[i] = (z + hw[i]) if (not with_source and i < ns) else z
 
-    def tr_q(q, _):
-        for n in range(ns):
-            acc = vov[q * nreg] * DN[n]
-            for r in range(1, nreg):
-                acc = acc + vov[q * nreg + r] * DN[r * ns + n]
-            DBF[q * ns + n] = acc
-        return 0
-
-    jax.lax.fori_loop(0, nregp, tr_q, 0)
+    for q in range(nregp):
+        acc = vov[q * nreg] * DN[pl.ds(0, ns)]
+        for r in range(1, nreg):
+            acc = acc + vov[q * nreg + r] * DN[pl.ds(r * ns, ns)]
+        DBF[pl.ds(q * ns, ns)] = acc
     _mv(UPB, 0, stacks, s_ab, DBF, 0, nd2, nd2)
     if with_source:
-        def upb_i(i, _):
-            UPB[i] = UPB[i] + stacks[s_sb + i]
-            return 0
+        UPB[pl.ds(0, nd2)] = UPB[pl.ds(0, nd2)] + stacks[pl.ds(s_sb, nd2)]
 
-        jax.lax.fori_loop(0, nd2, upb_i, 0)
+    roof_in = jnp.sum(DBF[pl.ds(nd, ns)], axis=0)
+    roof_up = jnp.sum(UPB[pl.ds(nd, ns)], axis=0)
 
-    roof_in = DBF[nd]
-    roof_up = UPB[nd]
-    for n in range(1, ns):
-        roof_in = roof_in + DBF[nd + n]
-        roof_up = roof_up + UPB[nd + n]
-
-    def rhs_i(i, _):
-        acc = T[i * nd] * DBF[0]
-        for k in range(1, nd):
-            acc = acc + T[i * nd + k] * DBF[k]
+    dbf_s = DBF[pl.ds(0, nd)]
+    if with_source:
+        sa_s = stacks[pl.ds(s_sa, nd)]
+    for i in range(nd):
+        acc = jnp.sum(T[pl.ds(i * nd, nd)] * dbf_s, axis=0)
         if with_source:
-            for k in range(nd):
-                acc = acc + R[i * nd + k] * stacks[s_sa + k]
-            acc = acc + p[i]
+            acc = acc + jnp.sum(R[pl.ds(i * nd, nd)] * sa_s, axis=0) + p[i]
         WRK[i] = acc
-        return 0
-
-    jax.lax.fori_loop(0, nd, rhs_i, 0)
     _mv(DNN, 0, stacks, s_inv, WRK, 0, nd, nd)
     _mv(UPA, 0, stacks, s_aa, DNN, 0, nd, nd)
     if with_source:
-        def upa_i(i, _):
-            UPA[i] = UPA[i] + stacks[s_sa + i]
-            return 0
+        UPA[pl.ds(0, nd)] = UPA[pl.ds(0, nd)] + stacks[pl.ds(s_sa, nd)]
 
-        jax.lax.fori_loop(0, nd, upa_i, 0)
-
-    def conv_i(i, _):
-        WRK[i] = DBF[i] - DNN[i] - UPB[i] + UPA[i]
-        return 0
-
-    jax.lax.fori_loop(0, nd, conv_i, 0)
+    WRK[pl.ds(0, nd)] = (
+        DBF[pl.ds(0, nd)] - DNN[pl.ds(0, nd)]
+        - UPB[pl.ds(0, nd)] + UPA[pl.ds(0, nd)]
+    )
     _mv(IFL, 0, idif, 0, WRK, 0, nd, nd)
     if with_source:
-        def ifs_i(i, _):
-            IFL[i] = IFL[i] + isrc[i]
-            return 0
+        IFL[pl.ds(0, nd)] = IFL[pl.ds(0, nd)] + isrc[pl.ds(0, nd)]
 
-        jax.lax.fori_loop(0, nd, ifs_i, 0)
-
+    rmu_s = jnp.stack([z + rmu[n] for n in range(ns)])
+    rtan_s = jnp.stack([z + rtan[n] for n in range(ns)])
     if_mu = []
     if_tan = []
     for r in range(nreg):
-        am = IFL[r * ns] * rmu[0]
-        at = IFL[r * ns] * rtan[0]
-        for n in range(1, ns):
-            am = am + IFL[r * ns + n] * rmu[n]
-            at = at + IFL[r * ns + n] * rtan[n]
-        if_mu.append(am)
-        if_tan.append(at)
+        row_r = IFL[pl.ds(r * ns, ns)]
+        if_mu.append(jnp.sum(row_r * rmu_s, axis=0))
+        if_tan.append(jnp.sum(row_r * rtan_s, axis=0))
 
     row = {}
     row["roof_in"] = roof_in
@@ -745,19 +599,10 @@ def _lw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_source, do_urban,
             wn = wn - aux[a_swall]
         row["wall_net"] = wn
     if with_profiles:
-        sdt = DBF[0]
-        sut = UPB[0]
-        sdb = DNN[0]
-        sub = UPA[0]
-        for i in range(1, nd):
-            sdt = sdt + DBF[i]
-            sut = sut + UPB[i]
-            sdb = sdb + DNN[i]
-            sub = sub + UPA[i]
-        row["flux_dn_layer_top"] = sdt
-        row["flux_up_layer_top"] = sut
-        row["flux_dn_layer_base"] = sdb
-        row["flux_up_layer_base"] = sub
+        row["flux_dn_layer_top"] = jnp.sum(DBF[pl.ds(0, nd)], axis=0)
+        row["flux_up_layer_top"] = jnp.sum(UPB[pl.ds(0, nd)], axis=0)
+        row["flux_dn_layer_base"] = jnp.sum(DNN[pl.ds(0, nd)], axis=0)
+        row["flux_up_layer_base"] = jnp.sum(UPA[pl.ds(0, nd)], axis=0)
 
     for i, name in enumerate(out_rows):
         outs[i] = row[name]

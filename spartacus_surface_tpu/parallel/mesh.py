@@ -24,6 +24,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only"
+                    f" {len(devices)} devices are visible; run under"
+                    " XLA_FLAGS=--xla_force_host_platform_device_count="
+                    f"{n_devices} (virtual CPU) or on a larger slice"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), ("columns",))
 
