@@ -43,6 +43,13 @@ def build_argparser():
              "GPROF equivalents, Makefile_include.gfortran:40-43)",
     )
     p.add_argument(
+        "--column-chunk", type=int, default=None, metavar="N",
+        help="Solve in column chunks of N (bounds the accelerator HBM"
+             " working set for very large inputs; the TPU analogue of the"
+             " reference's nblocksize OpenMP blocking). Default: whole"
+             " batch, or the `column_chunk` namelist extension.",
+    )
+    p.add_argument(
         "--netcdf4", action="store_true",
         help="Write the output as NetCDF4/HDF5 via the native libnetcdf"
              " backend (default: NetCDF3 classic, as the reference driver)",
@@ -88,6 +95,8 @@ def main(argv=None):
         return 1
 
     config = Config.from_namelist(args.namelist)
+    if args.column_chunk is not None:
+        config.column_chunk = args.column_chunk
     driver_config = DriverConfig.from_namelist(args.namelist)
     iverbose = driver_config.iverbose
     if args.profile:

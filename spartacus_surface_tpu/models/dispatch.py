@@ -146,6 +146,7 @@ def _solver_groups(config: Config):
                 min_vegetation_fraction=config.min_vegetation_fraction,
                 min_building_fraction=config.min_building_fraction,
                 n_double=config.n_double,
+                column_chunk=config.column_chunk,
             ),
             config.lg_sw_forest,
             config.lg_lw_forest,
@@ -164,6 +165,7 @@ def _solver_groups(config: Config):
                 min_vegetation_fraction=config.min_vegetation_fraction,
                 min_building_fraction=config.min_building_fraction,
                 n_double=config.n_double,
+                column_chunk=config.column_chunk,
             ),
             config.lg_sw_urban,
             config.lg_lw_urban,
@@ -182,6 +184,7 @@ def _solver_groups(config: Config):
                 min_vegetation_fraction=config.min_vegetation_fraction,
                 min_building_fraction=config.min_building_fraction,
                 n_double=config.n_double,
+                column_chunk=config.column_chunk,
             ),
             config.lg_sw_urban,
             config.lg_lw_urban,

@@ -183,6 +183,12 @@ class SolverOptions:
     # VMEM-footprint guard on the system size).  SPARTACUS_PALLAS_SWEEPS=1/0
     # force-overrides.
     use_pallas_sweeps: bool | None = None
+    # Solve in column chunks of this size via lax.map (0 = whole batch in
+    # one pass).  Bounds the HBM working set — the per-interface operator
+    # stacks are the largest transient (~70 KB/column at nreg=2, ns=4,
+    # L=8) — so datasets of 1M+ columns fit on one chip.  Columns are
+    # padded up to a chunk multiple with no-op values and sliced off.
+    column_chunk: int = 0
 
 
 # ----------------------------------------------------------------------
@@ -286,9 +292,8 @@ def _take_spec(x, itr):
 # Shortwave solver
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
-def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
-                 with_profiles: bool = False):
+def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
+                       lg: LegendreGauss, with_profiles: bool = False):
     """Shortwave solve for one column group.
 
     Returns (norm_dir, norm_diff, bc) where norm_dir/norm_diff are flux dicts
@@ -1100,9 +1105,8 @@ def _lw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
 # Longwave solver
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
-def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
-                 with_profiles: bool = False):
+def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
+                       lg: LegendreGauss, with_profiles: bool = False):
     """Longwave solve for one column group.
 
     Returns (internal, norm, bc): `internal` holds fluxes from emission
@@ -1401,3 +1405,60 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     internal = sweep(with_source=True)
     norm = sweep(with_source=False)
     return internal, norm, bc
+
+
+# ----------------------------------------------------------------------
+# Public entry points: optional column chunking around the impls
+# ----------------------------------------------------------------------
+
+# Per-field no-op padding values for chunk-rounding extra columns: scales
+# must stay positive (they divide perimeter formulas) and cos_sza nonzero
+# (it divides the direct normalization); everything else pads with zero.
+_PAD_VALUES = {"cos_sza": 1.0, "veg_scale": 1.0, "building_scale": 1.0}
+
+
+def _pad_columns(inp: CanopyInputs, pad: int) -> CanopyInputs:
+    if pad == 0:
+        return inp
+    from dataclasses import fields, replace
+
+    kw = {}
+    for f in fields(inp):
+        x = getattr(inp, f.name)
+        if x is None:
+            continue
+        fill = _PAD_VALUES.get(f.name, 0.0)
+        extra = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        kw[f.name] = jnp.concatenate([jnp.asarray(x), extra], axis=0)
+    return replace(inp, **kw)
+
+
+def _chunked_solve(impl, inp, opt, lg, with_profiles):
+    C = inp.dz.shape[0]
+    ck = opt.column_chunk
+    if not ck or C <= ck:
+        return impl(inp, opt, lg, with_profiles)
+    pad = (-C) % ck
+    inp_p = _pad_columns(inp, pad)
+    n_chunks = (C + pad) // ck
+    split = jax.tree_util.tree_map(
+        lambda x: jnp.reshape(x, (n_chunks, ck) + x.shape[1:]), inp_p
+    )
+    out = jax.lax.map(lambda a: impl(a, opt, lg, with_profiles), split)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.reshape(x, (n_chunks * ck,) + x.shape[2:])[:C], out
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
+def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
+                 with_profiles: bool = False):
+    """Shortwave solve; see _spartacus_sw_impl.  Honors opt.column_chunk."""
+    return _chunked_solve(_spartacus_sw_impl, inp, opt, lg, with_profiles)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
+def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
+                 with_profiles: bool = False):
+    """Longwave solve; see _spartacus_lw_impl.  Honors opt.column_chunk."""
+    return _chunked_solve(_spartacus_lw_impl, inp, opt, lg, with_profiles)

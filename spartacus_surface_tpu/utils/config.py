@@ -62,6 +62,14 @@ class Config:
     # optical thickness handled at full accuracy.
     n_double: int = 12
 
+    # Solve in column chunks of this size (0 = whole batch at once): the
+    # TPU-native generalization of the reference driver's `nblocksize`
+    # OpenMP blocking (driver/spartacus_surface_config.F90:24-25) — here it
+    # bounds the on-chip HBM working set so 1M+ column datasets fit on one
+    # chip.  Namelist-extension parameter; also settable via the CLI
+    # --column-chunk flag.
+    column_chunk: int = 0
+
     @classmethod
     def from_namelist(cls, path: str) -> "Config":
         cfg = cls()

@@ -175,3 +175,27 @@ def test_forest_equals_urban_with_zero_buildings():
         np.asarray(f_bc["top_albedo_dir"]), np.asarray(u_bc["top_albedo_dir"]),
         atol=1e-12,
     )
+
+
+def test_column_chunked_solve_matches_unchunked():
+    """opt.column_chunk (lax.map over padded column chunks) is exact:
+    chunk boundary and no-op padding columns must not change any output."""
+    import jax
+
+    from spartacus_surface_tpu.models.solver import SolverOptions, spartacus_sw
+
+    rng = np.random.default_rng(41)
+    inp = make_inputs(rng, C=10, L=2, S=2, urban=True)
+    inp = jax.tree_util.tree_map(
+        lambda x: None if x is None else np.asarray(x, np.float32), inp
+    )
+    lg = LegendreGauss(2)
+    kw = dict(nreg=2, nstream=2, do_urban=True, n_double=6)
+    ref = spartacus_sw(inp, SolverOptions(**kw), lg)
+    got = spartacus_sw(inp, SolverOptions(**kw, column_chunk=4), lg)
+    for rd, pd in zip(ref, got):
+        for k in rd:
+            np.testing.assert_allclose(
+                np.asarray(pd[k]), np.asarray(rd[k]),
+                rtol=2e-5, atol=1e-6, err_msg=k,
+            )
