@@ -223,14 +223,26 @@ def read_input(path: str, config: Config, driver_config: DriverConfig,
             # Default air optics (read_input.F90:258-261)
             arrays["lw_air_ext"] = np.full((ncol, nlay_max, nlw), 1.0e-5)
             arrays["lw_air_ssa"] = np.zeros((ncol, nlay_max, nlw))
-            # Top-of-canopy longwave flux (read_input.F90:273-280)
+            # Top-of-canopy longwave flux (read_input.F90:273-280).  For
+            # nlw > 1, broadband values (the scalar override and the
+            # sky-temperature sigma*T^4 fallback) are split across bands by
+            # lw_band_fraction (nlw > 1 is an extension; the reference
+            # aborts, radsurf_simple_spectrum.F90:44-46).
+            wb = (
+                np.asarray(config.lw_band_fraction, np.float64)
+                if nlw > 1 and config.lw_band_fraction is not None
+                else np.ones(nlw) / nlw if nlw > 1
+                else np.ones(1)
+            )
             if dc.top_flux_dn_lw >= 0.0:
-                top_flux_dn_lw = np.full((ncol, nlw), dc.top_flux_dn_lw)
+                top_flux_dn_lw = dc.top_flux_dn_lw * np.broadcast_to(
+                    wb, (ncol, nlw)
+                ).copy()
             elif f.exists("top_flux_dn_lw"):
                 top_flux_dn_lw = _read_spectral_col(f, "top_flux_dn_lw", nlw)
             else:
                 sky_t = _read_spectral_col(f, "sky_temperature", nlw)
-                top_flux_dn_lw = StefanBoltzmann * sky_t**4
+                top_flux_dn_lw = StefanBoltzmann * sky_t**4 * wb
 
         if config.do_sw:
             nsw = config.nsw

@@ -3,8 +3,13 @@ sources.
 
 Parity: radsurf/radsurf_simple_spectrum.F90:20-68 (per-column-block in the
 reference; here one vectorized pass) plus calc_monochromatic_emission
-(radsurf/radsurf_lw_spectral_properties.F90:161-199).  Only nlw == 1 is
-supported, as in the reference.
+(radsurf/radsurf_lw_spectral_properties.F90:161-199).
+
+Extension beyond the reference (which ABORTS for nlw > 1,
+radsurf_simple_spectrum.F90:44-46): with `lw_band_fraction` weights in the
+&radsurf namelist, the sigma*T^4 Planck emission is split across nlw bands
+(the solver is fully spectral already; band-dependent emissivities then
+take effect).
 """
 
 from __future__ import annotations
@@ -17,12 +22,15 @@ from ..utils.constants import StefanBoltzmann
 def calc_simple_spectrum_lw(config, arrays: dict) -> None:
     """Fill ground/roof/wall emission and clear-air/veg Planck fields from
     the temperature arrays, in place."""
-    if config.nlw > 1:
+    if config.nlw > 1 and getattr(config, "lw_band_fraction", None) is None:
         raise ValueError(
             "Simple longwave spectrum only possible with one input spectral"
-            " interval"
+            " interval (set the lw_band_fraction namelist extension to"
+            " split the Planck emission over nlw bands)"
         )
     sb = StefanBoltzmann
+    if config.nlw > 1:
+        sb = sb * np.asarray(config.lw_band_fraction, np.float64)
     arrays["ground_emission"] = (
         sb * arrays["ground_emissivity"]
         * arrays["ground_temperature"][:, None] ** 4

@@ -1450,15 +1450,77 @@ def _chunked_solve(impl, inp, opt, lg, with_profiles):
     )
 
 
+# Differentiability of the Pallas path: the hand-written kernels have no
+# automatic VJP, but they compute the same function as the XLA path to f32
+# rounding, so the XLA path's VJP IS the gradient.  custom_vjp: primal =
+# Pallas kernels, backward = jax.vjp of the XLA path (recomputes the
+# primal there — paid only when differentiating).
+
+def _xla_only(opt: SolverOptions) -> SolverOptions:
+    from dataclasses import replace
+
+    return replace(opt, use_pallas_factory=False, use_pallas_sweeps=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _sw_diff(inp, opt, lg, with_profiles):
+    return _spartacus_sw_impl(inp, opt, lg, with_profiles)
+
+
+def _sw_diff_fwd(inp, opt, lg, with_profiles):
+    return _sw_diff(inp, opt, lg, with_profiles), inp
+
+
+def _sw_diff_bwd(opt, lg, with_profiles, inp, ct):
+    _, vjp = jax.vjp(
+        lambda a: _spartacus_sw_impl(a, _xla_only(opt), lg, with_profiles),
+        inp,
+    )
+    return vjp(ct)
+
+
+_sw_diff.defvjp(_sw_diff_fwd, _sw_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _lw_diff(inp, opt, lg, with_profiles):
+    return _spartacus_lw_impl(inp, opt, lg, with_profiles)
+
+
+def _lw_diff_fwd(inp, opt, lg, with_profiles):
+    return _lw_diff(inp, opt, lg, with_profiles), inp
+
+
+def _lw_diff_bwd(opt, lg, with_profiles, inp, ct):
+    _, vjp = jax.vjp(
+        lambda a: _spartacus_lw_impl(a, _xla_only(opt), lg, with_profiles),
+        inp,
+    )
+    return vjp(ct)
+
+
+_lw_diff.defvjp(_lw_diff_fwd, _lw_diff_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
 def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
                  with_profiles: bool = False):
-    """Shortwave solve; see _spartacus_sw_impl.  Honors opt.column_chunk."""
-    return _chunked_solve(_spartacus_sw_impl, inp, opt, lg, with_profiles)
+    """Shortwave solve; see _spartacus_sw_impl.  Honors opt.column_chunk;
+    reverse-mode differentiable on both the XLA and Pallas paths."""
+    impl = (
+        _sw_diff if (_use_pallas(opt) or _use_pallas_sweeps(opt, lg))
+        else _spartacus_sw_impl
+    )
+    return _chunked_solve(impl, inp, opt, lg, with_profiles)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
 def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
                  with_profiles: bool = False):
-    """Longwave solve; see _spartacus_lw_impl.  Honors opt.column_chunk."""
-    return _chunked_solve(_spartacus_lw_impl, inp, opt, lg, with_profiles)
+    """Longwave solve; see _spartacus_lw_impl.  Honors opt.column_chunk;
+    reverse-mode differentiable on both the XLA and Pallas paths."""
+    impl = (
+        _lw_diff if (_use_pallas(opt) or _use_pallas_sweeps(opt, lg))
+        else _spartacus_lw_impl
+    )
+    return _chunked_solve(impl, inp, opt, lg, with_profiles)

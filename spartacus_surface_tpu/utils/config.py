@@ -70,6 +70,14 @@ class Config:
     # --column-chunk flag.
     column_chunk: int = 0
 
+    # Band weights for splitting the sigma*T^4 Planck emission across
+    # nlw > 1 longwave bands (namelist extension, e.g.
+    # `lw_band_fraction = 0.3, 0.7`).  The reference's simple spectrum
+    # ABORTS for nlw > 1 (radsurf_simple_spectrum.F90:44-46); the solver
+    # here is fully spectral, so supplying per-band Planck weights is the
+    # only missing piece.  Normalized to sum to 1 in consolidate().
+    lw_band_fraction: object = None
+
     @classmethod
     def from_namelist(cls, path: str) -> "Config":
         cfg = cls()
@@ -89,6 +97,18 @@ class Config:
         self.lg_sw_urban = LegendreGauss(self.n_stream_sw_urban)
         self.lg_lw_forest = LegendreGauss(self.n_stream_lw_forest)
         self.lg_lw_urban = LegendreGauss(self.n_stream_lw_urban)
+        if self.lw_band_fraction is not None:
+            import numpy as np
+
+            w = np.atleast_1d(np.asarray(self.lw_band_fraction, np.float64))
+            if w.size != self.nlw:
+                raise ValueError(
+                    f"lw_band_fraction has {w.size} entries but nlw ="
+                    f" {self.nlw}"
+                )
+            if not np.all(w > 0.0):
+                raise ValueError("lw_band_fraction entries must be > 0")
+            self.lw_band_fraction = w / w.sum()
         return self
 
 

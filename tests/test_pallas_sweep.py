@@ -61,3 +61,36 @@ def test_lw_sweep_kernels_match_scan(nreg):
     got = spartacus_lw(inp, SolverOptions(**kw, use_pallas_sweeps=True),
                        lg, with_profiles=True)
     _compare(ref, got, f"lw nreg={nreg}")
+
+
+def test_grad_through_pallas_path_matches_xla():
+    """jax.grad works with the Pallas kernels enabled (custom_vjp whose
+    backward is the XLA path's VJP), and equals the XLA path's gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    inp = make_inputs(rng, C=2, L=2, S=1, urban=True)
+    inp = jax.tree_util.tree_map(
+        lambda x: None if x is None else np.asarray(x, np.float32), inp
+    )
+    lg = LegendreGauss(2)
+    kw = dict(nreg=2, nstream=2, do_urban=True, n_double=6)
+
+    def loss(veg_ext, opt):
+        import dataclasses
+
+        nd, nf, bc = spartacus_sw(
+            dataclasses.replace(inp, veg_ext=veg_ext), opt, lg
+        )
+        return jnp.sum(nd["ground_net"]) + jnp.sum(bc["top_albedo_dir"])
+
+    g_ref = jax.grad(loss)(inp.veg_ext, SolverOptions(**kw))
+    g_pal = jax.grad(loss)(
+        inp.veg_ext,
+        SolverOptions(**kw, use_pallas_factory=True, use_pallas_sweeps=True),
+    )
+    assert np.isfinite(np.asarray(g_pal)).all()
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), rtol=1e-6, atol=1e-8
+    )

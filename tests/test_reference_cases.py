@@ -185,3 +185,34 @@ def test_single_layer_solvers(tmp_path, itype):
     gd = o["ground_flux_dn_sw"]
     assert gd[0] > gd[-1]
     return o
+
+
+def test_multiband_lw_extension(tmp_path):
+    """nlw > 1 via the lw_band_fraction extension (the reference aborts,
+    radsurf_simple_spectrum.F90:44-46).  The solve is linear per band and
+    every input here is band-independent, so band-summed fluxes must equal
+    the nlw = 1 broadband run to rounding."""
+    base = "/root/reference/test/simple/config.nam"
+    infile = "/root/reference/test/simple/test_surfaces_in.nc"
+    out1 = tmp_path / "out1.nc"
+    run_driver(base, infile, out1)
+
+    with open(base) as f:
+        text = f.read()
+    text = text.replace("nlw = 1,", "nlw = 2,\nlw_band_fraction = 0.35, 0.65,")
+    cfg2 = tmp_path / "config2.nam"
+    cfg2.write_text(text)
+    out2 = tmp_path / "out2.nc"
+    run_driver(str(cfg2), infile, out2)
+
+    a, b = read_out(out1), read_out(out2)
+    checked = 0
+    for k, v in a.items():
+        if "lw" not in k or v.dtype.kind != "f":
+            continue
+        np.testing.assert_allclose(
+            b[k], v, rtol=5e-6, atol=1e-6,
+            err_msg=f"{k} (band-summed nlw=2 vs nlw=1)",
+        )
+        checked += 1
+    assert checked >= 5
