@@ -719,9 +719,17 @@ def _use_pallas(opt: SolverOptions) -> bool:
         # Auto: only the real-TPU single-precision path (the kernel's index
         # arithmetic is i32; x64 mode traces Python ints as i64, which
         # Mosaic rejects, and double-precision data belongs on the XLA
-        # path anyway).
-        return (jax.default_backend() == "tpu"
-                and not jax.config.jax_enable_x64)
+        # path anyway), and only when the kernel's scratch fits the 16 MB
+        # scoped-VMEM limit (nreg=3 or 8-stream systems exceed it and fall
+        # back to the XLA factory).
+        from ..ops.pallas_layer import factory_scratch_bytes
+
+        nd = opt.nreg * opt.nstream
+        return (
+            jax.default_backend() == "tpu"
+            and not jax.config.jax_enable_x64
+            and factory_scratch_bytes(nd, opt.nreg) < 14 * 2**20
+        )
     return opt.use_pallas_factory
 
 

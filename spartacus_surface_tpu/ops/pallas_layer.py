@@ -38,6 +38,21 @@ _PADE7_B = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0,
             56.0, 1.0)
 
 
+def factory_scratch_bytes(nd: int, ndir: int, itemsize: int = 4) -> int:
+    """Scratch VMEM footprint of the layer-factory kernel per batch tile.
+
+    Calibrated against the compiler's scoped-vmem accounting: the in/out
+    pipeline windows overlap the scratch allocation, so scratch rows alone
+    track the reported usage (nd=8: ~8 MB fits; nd=12: 17.1 MB > the 16 MB
+    limit).  Used by the solver's auto-enable heuristic."""
+    N = 2 * nd + ndir
+    rows = (
+        4 * N * N + max(N * N, 3 * nd * ndir)
+        + 4 * nd * nd + 4 * nd * ndir + 2 * ndir * ndir + 1
+    )
+    return rows * SUBLANES * LANES * itemsize
+
+
 # ----------------------------------------------------------------------
 # In-VMEM batched linear algebra on [rows, 8, 128] buffers
 # ----------------------------------------------------------------------
