@@ -113,6 +113,18 @@ def _eye_fill(buf, n, rec):
             buf[i * n + j] = o if i == j else z
 
 
+def _mmo(out, ob, a, ab, b, bb, n, p, m, *, accumulate=False):
+    """out[ob + i*m + j] (+)= sum_k a[ab + i*p + k] * b[bb + k*m + j]:
+    row-slab matmul at static row offsets (structured-expm slot layout)."""
+    for i in range(n):
+        acc = a[ab + i * p] * b[pl.ds(bb, m)]
+        for k in range(1, p):
+            acc = acc + a[ab + i * p + k] * b[pl.ds(bb + k * m, m)]
+        if accumulate:
+            acc = out[pl.ds(ob + i * m, m)] + acc
+        out[pl.ds(ob + i * m, m)] = acc
+
+
 def _schur_int_kernel(nd, ndir, int_direct, g0_ref, g1_ref, g2_ref, g3_ref,
                       idiff_out, idir_out, idirdiff_out, G, F, W1, W2, W3,
                       rec):
@@ -246,6 +258,18 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
     F[pl.ds(0, N * N)] = F[pl.ds(0, N * N)] + W2[pl.ds(0, N * N)]
     _solve_inplace(W1, F, N, N, rec)    # F = expm(G)
 
+    _extract_double(nd, ndir, n_K, F, W1, W2, W3, RT, SS, EE, rec,
+                    r_out, t_out, e_out, sup_out, sdn_out)
+
+
+def _extract_double(nd, ndir, n_K, F, W1, W2, W3, RT, SS, EE, rec,
+                    r_out, t_out, e_out, sup_out, sdn_out):
+    """Thin-layer extraction from F = expm(Gamma*s) (stored in the
+    N = 2*nd + ndir row-major layout) + n_K adding-doubling steps +
+    output writes.  Workspace: W1 >= nd^2, W2 >= nd*(nd+ndir),
+    W3 >= 3*nd*ndir rows; F's first nd^2 rows are reused as a temp
+    during doubling."""
+    N = 2 * nd + ndir
     # ---- thin-layer extraction
     # X = F11^-1 [F12 | F13]  (nd x (nd + ndir))
     m_x = nd + ndir
@@ -368,6 +392,259 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
     sdn_out[pl.ds(0, nd * ndir)] = SS[pl.ds(off_sdn, nd * ndir)]
 
 
+def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
+                             g3_ref, dz_ref, r_out, t_out, e_out, sup_out,
+                             sdn_out, AS, DSM, XY, POW, PXU, VMU, F, RT, SS,
+                             EE, rec):
+    """Structured expm exploiting the SPARTACUS block symmetry.
+
+    The similarity K = [[I, I], [I, -I]] on the two diffuse stream blocks
+    maps Gamma's diffuse part [[-g1, -g2], [g2, g1]] to the anti-diagonal
+    [[0, Bm], [Cm, 0]] with Bm = g2 - g1, Cm = -(g1 + g2), whose even
+    powers are diag(W^k, W'^k) with W = Bm Cm — the DISORT product matrix
+    (g1 - g2)(g1 + g2) the reference eigendecomposes
+    (radtool_calc_matrices_sw_eig.F90:179-198).  The Pade-7 numerator and
+    denominator therefore need only HALF-SIZE (nd, not 2*nd + ndir)
+    matrix products: 8 nd^3 matmuls + one 2nd-size solve vs the dense
+    path's 4 N^3 matmuls + an N-size solve (~3x fewer Pade FLOPs).  The
+    direct-coupling column is carried through the power recurrence
+    (x_{k+1} = beta_k b + x_k D with b = -2 g3, so x4 = W x2 + x3 D etc.)
+    and the transform is undone by a 4-point butterfly, in place in F.
+    Validated against the dense path to 1.3e-15 in f64 prototype and to
+    f32 rounding in tests.
+
+    Slot layouts (rows): AS = [Bm | Cm | b]; DSM = [D | D2 | D4 | D6 |
+    vd | ud | m | f33]; XY = 14 nd*ndir slots [x2 y2 x3 y3 x4 y4 x5 y5
+    x6 y6 xv yv xu yu]; POW = [W | W' | W2 | W'2 | W3 | W'3]; PXU =
+    [vw | uw | vw' | uw' | P12 | P21]; VMU = (2nd)^2; F = N^2.
+    """
+    N = 2 * nd + ndir
+    n2 = nd * nd
+    b = _PADE7_B
+    s = dz_ref[0]
+    o_bm, o_cm, o_b = 0, n2, 2 * n2
+    d_d, d_2, d_4, d_6, d_vd, d_ud, d_m, d_f33 = (
+        k * ndir * ndir for k in range(8)
+    )
+    nr = nd * ndir
+    (x2, y2, x3, y3, x4, y4, x5, y5, x6, y6, xv, yv, xu, yu) = (
+        k * nr for k in range(14)
+    )
+    p_w, p_wp, p_w2, p_wp2, p_w3, p_wp3 = (k * n2 for k in range(6))
+    q_vw, q_uw, q_vwp, q_uwp, q_p12, q_p21 = (k * n2 for k in range(6))
+
+    # ---- assembly in the transformed basis, scaled by dz
+    for i in range(nd):
+        g1r = g1_ref[pl.ds(i * nd, nd)] * s
+        g2r = g2_ref[pl.ds(i * nd, nd)] * s
+        AS[pl.ds(o_bm + i * nd, nd)] = g2r - g1r
+        AS[pl.ds(o_cm + i * nd, nd)] = -(g1r + g2r)
+        AS[pl.ds(o_b + i * ndir, ndir)] = (
+            -2.0 * g3_ref[pl.ds(i * ndir, ndir)] * s
+        )
+    for i in range(ndir):
+        DSM[pl.ds(d_d + i * ndir, ndir)] = g0_ref[pl.ds(i * ndir, ndir)] * s
+
+    # ---- norm-adaptive scaling on the transformed matrix
+    theta = 2.0
+    nrm = jnp.zeros_like(rec[0])
+    for i in range(nd):
+        nrm = jnp.maximum(
+            nrm, jnp.sum(jnp.abs(AS[pl.ds(o_bm + i * nd, nd)]), axis=0)
+        )
+        nrm = jnp.maximum(
+            nrm,
+            jnp.sum(jnp.abs(AS[pl.ds(o_cm + i * nd, nd)]), axis=0)
+            + jnp.sum(jnp.abs(AS[pl.ds(o_b + i * ndir, ndir)]), axis=0),
+        )
+    for i in range(ndir):
+        nrm = jnp.maximum(
+            nrm, jnp.sum(jnp.abs(DSM[pl.ds(d_d + i * ndir, ndir)]), axis=0)
+        )
+    nmax = jnp.max(nrm)
+    n_K = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(nmax, 1e-30) / theta)),
+        0, n_double,
+    ).astype(jnp.int32)
+    fac = jnp.exp2(-n_K.astype(nmax.dtype))
+    AS[pl.ds(0, 2 * n2 + nr)] = AS[pl.ds(0, 2 * n2 + nr)] * fac
+    DSM[pl.ds(d_d, ndir * ndir)] = DSM[pl.ds(d_d, ndir * ndir)] * fac
+
+    # ---- half-size powers
+    _mmo(POW, p_w, AS, o_bm, AS, o_cm, nd, nd, nd)     # W  = Bm Cm
+    _mmo(POW, p_wp, AS, o_cm, AS, o_bm, nd, nd, nd)    # W' = Cm Bm
+    _mmo(POW, p_w2, POW, p_w, POW, p_w, nd, nd, nd)
+    _mmo(POW, p_wp2, POW, p_wp, POW, p_wp, nd, nd, nd)
+    _mmo(POW, p_w3, POW, p_w, POW, p_w2, nd, nd, nd)
+    _mmo(POW, p_wp3, POW, p_wp, POW, p_wp2, nd, nd, nd)
+
+    # ---- even/odd Pade polynomials of the half-size blocks
+    for (dst, src) in ((q_vw, p_w), (q_vwp, p_wp)):
+        PXU[pl.ds(dst, n2)] = (
+            b[2] * POW[pl.ds(src, n2)]
+            + b[4] * POW[pl.ds(src + 2 * n2, n2)]
+            + b[6] * POW[pl.ds(src + 4 * n2, n2)]
+        )
+    for (dst, src) in ((q_uw, p_w), (q_uwp, p_wp)):
+        PXU[pl.ds(dst, n2)] = (
+            b[3] * POW[pl.ds(src, n2)]
+            + b[5] * POW[pl.ds(src + 2 * n2, n2)]
+            + b[7] * POW[pl.ds(src + 4 * n2, n2)]
+        )
+    for i in range(nd):
+        PXU[q_vw + i * nd + i] = PXU[q_vw + i * nd + i] + b[0]
+        PXU[q_vwp + i * nd + i] = PXU[q_vwp + i * nd + i] + b[0]
+        PXU[q_uw + i * nd + i] = PXU[q_uw + i * nd + i] + b[1]
+        PXU[q_uwp + i * nd + i] = PXU[q_uwp + i * nd + i] + b[1]
+    _mmo(PXU, q_p12, AS, o_bm, PXU, q_uwp, nd, nd, nd)  # Bm u(W')
+    _mmo(PXU, q_p21, AS, o_cm, PXU, q_uw, nd, nd, nd)   # Cm u(W)
+
+    # ---- direct block: powers of D, vd/ud, F33 = (vd - D ud)^-1 (vd + D ud)
+    _mmo(DSM, d_2, DSM, d_d, DSM, d_d, ndir, ndir, ndir)
+    _mmo(DSM, d_4, DSM, d_2, DSM, d_2, ndir, ndir, ndir)
+    _mmo(DSM, d_6, DSM, d_2, DSM, d_4, ndir, ndir, ndir)
+    DSM[pl.ds(d_vd, ndir * ndir)] = (
+        b[2] * DSM[pl.ds(d_2, ndir * ndir)]
+        + b[4] * DSM[pl.ds(d_4, ndir * ndir)]
+        + b[6] * DSM[pl.ds(d_6, ndir * ndir)]
+    )
+    DSM[pl.ds(d_ud, ndir * ndir)] = (
+        b[3] * DSM[pl.ds(d_2, ndir * ndir)]
+        + b[5] * DSM[pl.ds(d_4, ndir * ndir)]
+        + b[7] * DSM[pl.ds(d_6, ndir * ndir)]
+    )
+    for i in range(ndir):
+        DSM[d_vd + i * ndir + i] = DSM[d_vd + i * ndir + i] + b[0]
+        DSM[d_ud + i * ndir + i] = DSM[d_ud + i * ndir + i] + b[1]
+    # U33 = D ud into d_2 (free); m = vd - U33; f33 = vd + U33 -> solve
+    _mmo(DSM, d_2, DSM, d_d, DSM, d_ud, ndir, ndir, ndir)
+    DSM[pl.ds(d_m, ndir * ndir)] = (
+        DSM[pl.ds(d_vd, ndir * ndir)] - DSM[pl.ds(d_2, ndir * ndir)]
+    )
+    DSM[pl.ds(d_f33, ndir * ndir)] = (
+        DSM[pl.ds(d_vd, ndir * ndir)] + DSM[pl.ds(d_2, ndir * ndir)]
+    )
+    _solve_off_rows(DSM, d_m, DSM, d_f33, ndir, ndir, rec)
+
+    # ---- direct-coupling column recurrences (x_{k+1} = beta_k b + x_k D,
+    # y_{k+1} = delta_k b + y_k D; odd betas/deltas are W^j Bm / 0)
+    _mmo(XY, x2, AS, o_bm, AS, o_b, nd, nd, ndir)        # x2 = Bm b
+    _mmo(XY, y2, AS, o_b, DSM, d_d, nd, ndir, ndir)      # y2 = b D
+    _mmo(XY, x3, XY, x2, DSM, d_d, nd, ndir, ndir)       # x3 = x2 D
+    _mmo(XY, y3, POW, p_wp, AS, o_b, nd, nd, ndir)       # y3 = W' b
+    _mmo(XY, y3, XY, y2, DSM, d_d, nd, ndir, ndir, accumulate=True)
+    _mmo(XY, x4, POW, p_w, XY, x2, nd, nd, ndir)         # x4 = W x2
+    _mmo(XY, x4, XY, x3, DSM, d_d, nd, ndir, ndir, accumulate=True)
+    _mmo(XY, y4, XY, y3, DSM, d_d, nd, ndir, ndir)       # y4 = y3 D
+    _mmo(XY, x5, XY, x4, DSM, d_d, nd, ndir, ndir)       # x5 = x4 D
+    _mmo(XY, y5, POW, p_wp2, AS, o_b, nd, nd, ndir)      # y5 = W'^2 b
+    _mmo(XY, y5, XY, y4, DSM, d_d, nd, ndir, ndir, accumulate=True)
+    _mmo(XY, x6, POW, p_w2, XY, x2, nd, nd, ndir)        # x6 = W^2 x2
+    _mmo(XY, x6, XY, x5, DSM, d_d, nd, ndir, ndir, accumulate=True)
+    _mmo(XY, y6, XY, y5, DSM, d_d, nd, ndir, ndir)       # y6 = y5 D
+    XY[pl.ds(xv, nr)] = (
+        b[2] * XY[pl.ds(x2, nr)] + b[4] * XY[pl.ds(x4, nr)]
+        + b[6] * XY[pl.ds(x6, nr)]
+    )
+    XY[pl.ds(yv, nr)] = (
+        b[2] * XY[pl.ds(y2, nr)] + b[4] * XY[pl.ds(y4, nr)]
+        + b[6] * XY[pl.ds(y6, nr)]
+    )
+    XY[pl.ds(xu, nr)] = (
+        b[3] * XY[pl.ds(x2, nr)] + b[5] * XY[pl.ds(x4, nr)]
+        + b[7] * XY[pl.ds(x6, nr)]
+    )
+    XY[pl.ds(yu, nr)] = (
+        b[3] * XY[pl.ds(y2, nr)] + b[5] * XY[pl.ds(y4, nr)]
+        + b[7] * XY[pl.ds(y6, nr)]
+    )
+    # U13 = Bm yu -> x3 slot (free); U23 = Cm xu + b ud -> y3 slot (free)
+    _mmo(XY, x3, AS, o_bm, XY, yu, nd, nd, ndir)
+    _mmo(XY, y3, AS, o_cm, XY, xu, nd, nd, ndir)
+    _mmo(XY, y3, AS, o_b, DSM, d_ud, nd, ndir, ndir, accumulate=True)
+
+    # ---- assemble (V - U) in VMU and the RHS = (V + U) with the direct
+    # column pre-corrected by F33, into F's first 2nd rows (stride N)
+    for i in range(nd):
+        VMU[pl.ds(i * 2 * nd, nd)] = PXU[pl.ds(q_vw + i * nd, nd)]
+        VMU[pl.ds(i * 2 * nd + nd, nd)] = -PXU[pl.ds(q_p12 + i * nd, nd)]
+        VMU[pl.ds((nd + i) * 2 * nd, nd)] = -PXU[pl.ds(q_p21 + i * nd, nd)]
+        VMU[pl.ds((nd + i) * 2 * nd + nd, nd)] = PXU[
+            pl.ds(q_vwp + i * nd, nd)
+        ]
+        F[pl.ds(i * N, nd)] = PXU[pl.ds(q_vw + i * nd, nd)]
+        F[pl.ds(i * N + nd, nd)] = PXU[pl.ds(q_p12 + i * nd, nd)]
+        F[pl.ds((nd + i) * N, nd)] = PXU[pl.ds(q_p21 + i * nd, nd)]
+        F[pl.ds((nd + i) * N + nd, nd)] = PXU[pl.ds(q_vwp + i * nd, nd)]
+        # top col3: (xv + U13) - (xv - U13) @ F33
+        tp = XY[pl.ds(xv + i * ndir, ndir)] + XY[pl.ds(x3 + i * ndir, ndir)]
+        tm = XY[pl.ds(xv + i * ndir, ndir)] - XY[pl.ds(x3 + i * ndir, ndir)]
+        corr = tm[0] * DSM[pl.ds(d_f33, ndir)]
+        for e in range(1, ndir):
+            corr = corr + tm[e] * DSM[pl.ds(d_f33 + e * ndir, ndir)]
+        F[pl.ds(i * N + 2 * nd, ndir)] = tp - corr
+        # mid col3: (yv + U23) - (yv - U23) @ F33
+        tp = XY[pl.ds(yv + i * ndir, ndir)] + XY[pl.ds(y3 + i * ndir, ndir)]
+        tm = XY[pl.ds(yv + i * ndir, ndir)] - XY[pl.ds(y3 + i * ndir, ndir)]
+        corr = tm[0] * DSM[pl.ds(d_f33, ndir)]
+        for e in range(1, ndir):
+            corr = corr + tm[e] * DSM[pl.ds(d_f33 + e * ndir, ndir)]
+        F[pl.ds((nd + i) * N + 2 * nd, ndir)] = tp - corr
+
+    _solve_inplace(VMU, F, 2 * nd, N, rec)  # F[:2nd rows] = F-hat
+
+    # ---- undo the similarity: 4-point butterfly per (i, j) block, in
+    # place; then the direct rows
+    for i in range(nd):
+        f11 = F[pl.ds(i * N, nd)]
+        f12 = F[pl.ds(i * N + nd, nd)]
+        f21 = F[pl.ds((nd + i) * N, nd)]
+        f22 = F[pl.ds((nd + i) * N + nd, nd)]
+        sa, sb = f11 + f21, f12 + f22
+        da, db = f11 - f21, f12 - f22
+        F[pl.ds(i * N, nd)] = 0.5 * (sa + sb)
+        F[pl.ds(i * N + nd, nd)] = 0.5 * (sa - sb)
+        F[pl.ds((nd + i) * N, nd)] = 0.5 * (da + db)
+        F[pl.ds((nd + i) * N + nd, nd)] = 0.5 * (da - db)
+        fx = F[pl.ds(i * N + 2 * nd, ndir)]
+        fy = F[pl.ds((nd + i) * N + 2 * nd, ndir)]
+        F[pl.ds(i * N + 2 * nd, ndir)] = 0.5 * (fx + fy)
+        F[pl.ds((nd + i) * N + 2 * nd, ndir)] = 0.5 * (fx - fy)
+    z = jnp.zeros_like(rec[0])
+    for i in range(ndir):
+        F[pl.ds((2 * nd + i) * N, 2 * nd)] = jnp.broadcast_to(
+            z, (2 * nd,) + z.shape
+        )
+        F[pl.ds((2 * nd + i) * N + 2 * nd, ndir)] = DSM[
+            pl.ds(d_f33 + i * ndir, ndir)
+        ]
+
+    _extract_double(nd, ndir, n_K, F, VMU, POW, PXU, RT, SS, EE, rec,
+                    r_out, t_out, e_out, sup_out, sdn_out)
+
+
+def _solve_off_rows(a, ab, rhs, rb, n, m, rec):
+    """Pivot-free solve with row offsets (small systems)."""
+    for k in range(n - 1):
+        piv = 1.0 / a[ab + k * n + k]
+        w = n - k - 1
+        for i in range(k + 1, n):
+            f = a[ab + i * n + k] * piv
+            if w:
+                a[pl.ds(ab + i * n + k + 1, w)] = (
+                    a[pl.ds(ab + i * n + k + 1, w)]
+                    - f * a[pl.ds(ab + k * n + k + 1, w)]
+                )
+            rhs[pl.ds(rb + i * m, m)] = (
+                rhs[pl.ds(rb + i * m, m)] - f * rhs[pl.ds(rb + k * m, m)]
+            )
+    for i in range(n - 1, -1, -1):
+        acc = rhs[pl.ds(rb + i * m, m)]
+        for k in range(i + 1, n):
+            acc = acc - a[ab + i * n + k] * rhs[pl.ds(rb + k * m, m)]
+        rhs[pl.ds(rb + i * m, m)] = acc * (1.0 / a[ab + i * n + i])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nd", "ndir", "n_double", "interpret", "with_int",
@@ -426,33 +703,64 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
                             lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    scratch = [
-        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # G
-        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # F
-        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # W1
-        pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # W2
-        pltpu.VMEM((max(N * N, 3 * nd * ndir), SUBLANES, LANES), dtype),  # W3
+    # Structured (half-size) expm needs >= 2 streams so the diffuse block
+    # splits; the dense path remains for 1-stream systems.
+    structured = nd >= 2 * ndir and nd >= 2
+    common = [
         pltpu.VMEM((4 * nd * nd, SUBLANES, LANES), dtype),  # RT
         pltpu.VMEM((4 * nd * ndir, SUBLANES, LANES), dtype),  # SS
         pltpu.VMEM((2 * ndir * ndir, SUBLANES, LANES), dtype),  # EE
         pltpu.VMEM((1, SUBLANES, LANES), dtype),  # rec
     ]
+    if structured:
+        scratch = [
+            pltpu.VMEM((2 * nd * nd + nd * ndir, SUBLANES, LANES), dtype),
+            pltpu.VMEM((8 * ndir * ndir, SUBLANES, LANES), dtype),  # DSM
+            pltpu.VMEM((14 * nd * ndir, SUBLANES, LANES), dtype),  # XY
+            pltpu.VMEM((6 * nd * nd, SUBLANES, LANES), dtype),  # POW
+            pltpu.VMEM((6 * nd * nd, SUBLANES, LANES), dtype),  # PXU
+            pltpu.VMEM((4 * nd * nd, SUBLANES, LANES), dtype),  # VMU
+            pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # F
+        ] + common
+    else:
+        scratch = [
+            pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # G
+            pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # F
+            pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # W1
+            pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # W2
+            pltpu.VMEM(
+                (max(N * N, 3 * nd * ndir), SUBLANES, LANES), dtype
+            ),  # W3
+        ] + common
 
     def kernel(g0r, g1r, g2r, g3r, dzr, *rest):
         outs_refs = rest[: len(rows_list)]
-        G, F, W1, W2, W3, RT, SS, EE, rec = rest[len(rows_list):]
         ro, to, eo, supo, sdno = outs_refs[:5]
-        _layer_kernel(
-            nd, ndir, n_double,
-            g0r, g1r, g2r, g3r, dzr,
-            ro, to, eo, supo, sdno,
-            G, F, W1, W2, W3, RT, SS, EE, rec,
-        )
+        if structured:
+            AS, DSM, XY, POW, PXU, VMU, F, RT, SS, EE, rec = rest[
+                len(rows_list):
+            ]
+            _layer_kernel_structured(
+                nd, ndir, n_double,
+                g0r, g1r, g2r, g3r, dzr,
+                ro, to, eo, supo, sdno,
+                AS, DSM, XY, POW, PXU, VMU, F, RT, SS, EE, rec,
+            )
+            ws = (POW, PXU, VMU, F, AS)
+        else:
+            G, F, W1, W2, W3, RT, SS, EE, rec = rest[len(rows_list):]
+            _layer_kernel(
+                nd, ndir, n_double,
+                g0r, g1r, g2r, g3r, dzr,
+                ro, to, eo, supo, sdno,
+                G, F, W1, W2, W3, RT, SS, EE, rec,
+            )
+            ws = (G, F, W1, W2, W3)
         if with_int:
             idiff, idir, idd = outs_refs[5:]
             _schur_int_kernel(
                 nd, ndir, int_direct, g0r, g1r, g2r, g3r,
-                idiff, idir, idd, G, F, W1, W2, W3, rec,
+                idiff, idir, idd, *ws, rec,
             )
 
     outs = pl.pallas_call(

@@ -14,8 +14,10 @@ from spartacus_surface_tpu.ops.pallas_layer import (
 from tests.test_layer_matrices import make_gammas
 
 
-@pytest.mark.parametrize("ns,nreg", [(4, 2), (2, 1)])
+@pytest.mark.parametrize("ns,nreg", [(4, 2), (2, 1), (1, 2)])
 def test_pallas_matches_xla(ns, nreg):
+    # (4,2)/(2,1) take the structured half-size expm; (1,2) keeps the
+    # dense-Pade fallback (1-stream systems have no diffuse block split)
     rng = np.random.default_rng(3)
     nd, ndir = ns * nreg, nreg
     B = TILE
