@@ -111,6 +111,9 @@ def main(argv=None):
         " (TPU) ------------------")
     log(f"Floating-point precision: {args.precision}")
     config.consolidate()
+    # Config echo at iverbose >= 2 (radsurf_config.F90:275-362, called from
+    # spartacus_surface_driver.F90 after consolidate)
+    config.print_config(iverbose=iverbose)
 
     try:
         with profiling.hook("read_input"):

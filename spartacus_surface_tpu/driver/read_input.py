@@ -228,21 +228,41 @@ def read_input(path: str, config: Config, driver_config: DriverConfig,
             # sky-temperature sigma*T^4 fallback) are split across bands by
             # lw_band_fraction (nlw > 1 is an extension; the reference
             # aborts, radsurf_simple_spectrum.F90:44-46).
-            wb = (
-                np.asarray(config.lw_band_fraction, np.float64)
-                if nlw > 1 and config.lw_band_fraction is not None
-                else np.ones(nlw) / nlw if nlw > 1
-                else np.ones(1)
-            )
+            def band_weights():
+                # Broadband -> per-band split requires lw_band_fraction
+                # when nlw > 1; refusing to guess matches
+                # calc_simple_spectrum_lw, which raises for the same
+                # configuration (the reference aborts for any nlw > 1,
+                # radsurf_simple_spectrum.F90:44-46).
+                if nlw == 1:
+                    return np.ones(1)
+                if config.lw_band_fraction is None:
+                    raise ValueError(
+                        "nlw > 1 with a broadband longwave boundary "
+                        "condition requires lw_band_fraction in &radsurf"
+                    )
+                return np.asarray(config.lw_band_fraction, np.float64)
+
             if dc.top_flux_dn_lw >= 0.0:
                 top_flux_dn_lw = dc.top_flux_dn_lw * np.broadcast_to(
-                    wb, (ncol, nlw)
+                    band_weights(), (ncol, nlw)
                 ).copy()
             elif f.exists("top_flux_dn_lw"):
                 top_flux_dn_lw = _read_spectral_col(f, "top_flux_dn_lw", nlw)
             else:
-                sky_t = _read_spectral_col(f, "sky_temperature", nlw)
-                top_flux_dn_lw = StefanBoltzmann * sky_t**4 * wb
+                raw = np.asarray(f.get("sky_temperature"))
+                if raw.ndim >= 2 and raw.shape[1] == nlw and nlw > 1:
+                    # Per-band sky temperatures: sigma*T_b^4 per band, no
+                    # extra band-weighting (T is a temperature, not a
+                    # fraction of the broadband flux).
+                    top_flux_dn_lw = StefanBoltzmann * raw.astype(
+                        np.float64
+                    ) ** 4
+                else:
+                    sky_t = _read_spectral_col(f, "sky_temperature", nlw)
+                    top_flux_dn_lw = (
+                        StefanBoltzmann * sky_t**4 * band_weights()
+                    )
 
         if config.do_sw:
             nsw = config.nsw

@@ -198,11 +198,19 @@ class SolverOptions:
 def _prepare_geometry(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
                       lw: bool):
     nreg = opt.nreg
-    frac = region_fracs(inp.veg_fraction, inp.building_fraction, nreg)
+    # The forest path must ignore building inputs entirely (the reference's
+    # forest solvers never read them, radsurf_forest_sw.F90:226-234): input
+    # files may carry -1 sentinels in building_fraction for forest columns,
+    # which would otherwise corrupt region fractions and perimeters.
+    building_fraction = (
+        inp.building_fraction if opt.do_urban
+        else jnp.zeros_like(inp.building_fraction)
+    )
+    frac = region_fracs(inp.veg_fraction, building_fraction, nreg)
     od_scal = od_scaling_from_fsd(inp.veg_fsd, nreg)
     u_ov, v_ov = overlap_matrices_urban(frac, nreg, opt.min_vegetation_fraction)
     norm_perim, norm_perim_wall = norm_perim_urban(
-        inp.building_fraction,
+        building_fraction,
         inp.building_scale,
         inp.veg_fraction,
         inp.veg_scale,
@@ -446,12 +454,17 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
     itr = _itransp(inp.air_ext, inp.dz)
     air_ext_t = jnp.take_along_axis(inp.air_ext, itr[:, None, None], axis=-1)[..., 0]
 
-    # Roof/non-building fractions (radsurf_urban_sw.F90:292-298)
-    bf_above = jnp.concatenate(
-        [inp.building_fraction[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
+    # Roof/non-building fractions (radsurf_urban_sw.F90:292-298); forest
+    # ignores building inputs (may be -1 file sentinels there)
+    bf_cur = (
+        inp.building_fraction if opt.do_urban
+        else jnp.zeros_like(inp.building_fraction)
     )
-    roof_fraction = jnp.maximum(0.0, inp.building_fraction - bf_above)  # [C, L]
-    nbf = 1.0 - inp.building_fraction  # [C, L]
+    bf_above = jnp.concatenate(
+        [bf_cur[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
+    )
+    roof_fraction = jnp.maximum(0.0, bf_cur - bf_above)  # [C, L]
+    nbf = 1.0 - bf_cur  # [C, L]
     nbf_above = 1.0 - bf_above
 
     # Clear-sky direct transmittance per layer at itransp
@@ -712,42 +725,47 @@ def _pad_od(od_scaling):
 def _use_pallas(opt: SolverOptions) -> bool:
     import os
 
+    # An explicit opt value wins over the env force-override: the
+    # custom_vjp backward pins use_pallas_factory=False (_xla_only) so
+    # jax.grad works even under SPARTACUS_PALLAS=1 (the Pallas kernels
+    # have no AD rule; the XLA path's VJP is the gradient).
+    if opt.use_pallas_factory is not None:
+        return opt.use_pallas_factory
     env = os.environ.get("SPARTACUS_PALLAS", "")
     if env != "":
         return env != "0"
-    if opt.use_pallas_factory is None:
-        # Auto: only the real-TPU single-precision path (the kernel's index
-        # arithmetic is i32; x64 mode traces Python ints as i64, which
-        # Mosaic rejects, and double-precision data belongs on the XLA
-        # path anyway), and only when the kernel's scratch fits the 16 MB
-        # scoped-VMEM limit (nreg=3 or 8-stream systems exceed it and fall
-        # back to the XLA factory).
-        from ..ops.pallas_layer import factory_scratch_bytes
+    # Auto: only the real-TPU single-precision path (the kernel's index
+    # arithmetic is i32; x64 mode traces Python ints as i64, which
+    # Mosaic rejects, and double-precision data belongs on the XLA
+    # path anyway), and only when the kernel's scratch fits the 16 MB
+    # scoped-VMEM limit (systems too big for it fall back to the XLA
+    # factory).
+    from ..ops.pallas_layer import factory_scratch_bytes
 
-        nd = opt.nreg * opt.nstream
-        return (
-            jax.default_backend() == "tpu"
-            and not jax.config.jax_enable_x64
-            and factory_scratch_bytes(nd, opt.nreg) < 14 * 2**20
-        )
-    return opt.use_pallas_factory
+    nd = opt.nreg * opt.nstream
+    return (
+        jax.default_backend() == "tpu"
+        and not jax.config.jax_enable_x64
+        and factory_scratch_bytes(nd, opt.nreg) < 14 * 2**20
+    )
 
 
 def _use_pallas_sweeps(opt: SolverOptions, lg: LegendreGauss) -> bool:
     import os
 
+    # Explicit opt value wins over the env override (see _use_pallas).
+    if opt.use_pallas_sweeps is not None:
+        return opt.use_pallas_sweeps
     env = os.environ.get("SPARTACUS_PALLAS_SWEEPS", "")
     if env != "":
         return env != "0"
-    if opt.use_pallas_sweeps is None:
-        # Auto: real-TPU f32 only, and bound the VMEM footprint — the
-        # a_below buffer is ((nreg+1)*ns)^2 rows of (8,128) tiles.
-        return (
-            jax.default_backend() == "tpu"
-            and not jax.config.jax_enable_x64
-            and (opt.nreg + 1) * lg.nstream <= 16
-        )
-    return opt.use_pallas_sweeps
+    # Auto: real-TPU f32 only, and bound the VMEM footprint — the
+    # a_below buffer is ((nreg+1)*ns)^2 rows of (8,128) tiles.
+    return (
+        jax.default_backend() == "tpu"
+        and not jax.config.jax_enable_x64
+        and (opt.nreg + 1) * lg.nstream <= 16
+    )
 
 
 def _flat(x):
@@ -1234,11 +1252,15 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
 
     # Exposed-roof fraction at the top of each layer
     # (radsurf_urban_lw.F90:589-599; padding makes the top-of-canopy case
-    # automatic)
-    bf_above = jnp.concatenate(
-        [inp.building_fraction[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
+    # automatic).  Forest ignores building inputs (may be -1 sentinels).
+    bf_cur = (
+        inp.building_fraction if opt.do_urban
+        else jnp.zeros_like(inp.building_fraction)
     )
-    exposed_roof = jnp.maximum(0.0, inp.building_fraction - bf_above)
+    bf_above = jnp.concatenate(
+        [bf_cur[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
+    )
+    exposed_roof = jnp.maximum(0.0, bf_cur - bf_above)
 
     if _use_pallas_sweeps(opt, lg):
         return _lw_pallas_path(

@@ -41,15 +41,26 @@ _PADE7_B = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0,
 def factory_scratch_bytes(nd: int, ndir: int, itemsize: int = 4) -> int:
     """Scratch VMEM footprint of the layer-factory kernel per batch tile.
 
-    Calibrated against the compiler's scoped-vmem accounting: the in/out
-    pipeline windows overlap the scratch allocation, so scratch rows alone
-    track the reported usage (nd=8: ~8 MB fits; nd=12: 17.1 MB > the 16 MB
-    limit).  Used by the solver's auto-enable heuristic."""
+    Mirrors the actual `scratch_shapes` lists in pallas_layer_thin_double
+    for whichever kernel (structured half-size expm vs dense) that config
+    takes, so the solver's auto-enable VMEM guard predicts the compiler's
+    scoped-vmem accounting exactly (the in/out pipeline windows overlap the
+    scratch allocation, so scratch rows alone track the reported usage)."""
     N = 2 * nd + ndir
-    rows = (
-        4 * N * N + max(N * N, 3 * nd * ndir)
-        + 4 * nd * nd + 4 * nd * ndir + 2 * ndir * ndir + 1
-    )
+    common = 4 * nd * nd + 4 * nd * ndir + 2 * ndir * ndir + 1
+    if nd >= 2 * ndir and nd >= 2:  # structured kernel (same predicate)
+        rows = (
+            (2 * nd * nd + nd * ndir)  # AS
+            + 8 * ndir * ndir          # DSM
+            + 14 * nd * ndir           # XY
+            + 6 * nd * nd              # POW
+            + 6 * nd * nd              # PXU
+            + 4 * nd * nd              # VMU
+            + N * N                    # F
+            + common
+        )
+    else:
+        rows = 4 * N * N + max(N * N, 3 * nd * ndir) + common
     return rows * SUBLANES * LANES * itemsize
 
 

@@ -111,6 +111,83 @@ class Config:
             self.lw_band_fraction = w / w.sum()
         return self
 
+    def print_config(self, iverbose: int | None = None, out=None) -> None:
+        """Echo the consolidated configuration at iverbose >= 2.
+
+        Parity: config_type%print (radsurf/radsurf_config.F90:275-362),
+        including the reference's fixed-width line layout
+        (NPrintStringLen = 41, radsurf_config.F90:23).
+        """
+        import sys
+
+        write = (out or sys.stdout).write
+        verb = self.iverbose if iverbose is None else iverbose
+        if verb < 2:
+            return
+
+        def p_log(msg, name, val):
+            s = f"{msg}{' ON ' if val else ' OFF'}"
+            write(f"{s:<41} ({name}={'T' if val else 'F'})\n")
+
+        def p_int(msg, name, val):
+            write(f"{msg + ' = ' + str(int(val)):<41} ({name})\n")
+
+        def p_real(msg, name, val):
+            write(f"{msg + ' = ' + format(float(val), '.3g'):<41} ({name})\n")
+
+        write("General settings:\n")
+        p_log("  Represent vegetation", "do_vegetation", self.do_vegetation)
+        p_log("  Represent urban areas", "do_urban", self.do_urban)
+        p_log("  Do shortwave (SW) calculations", "do_sw", self.do_sw)
+        p_log("  Do longwave (LW) calculations", "do_sw", self.do_lw)
+        p_log("  Save broadband fluxes", "do_save_broadband_flux",
+              self.do_save_broadband_flux)
+        p_log("  Save spectral fluxes", "do_save_spectral_flux",
+              self.do_save_spectral_flux)
+        if self.do_sw:
+            p_int("  Number of SW spectral intervals", "nsw", self.nsw)
+        if self.do_lw:
+            p_int("  Number of LW spectral intervals", "nlw", self.nlw)
+        if self.do_vegetation:
+            p_real("  Minimum vegetation fraction",
+                   "min_vegetation_fraction", self.min_vegetation_fraction)
+            write("Settings for forests:\n")
+            p_int("  Number of vegetation regions",
+                  "n_vegetation_region_forest",
+                  self.n_vegetation_region_forest)
+            p_log("  Use symmetric vegetation scale",
+                  "use_symmetric_vegetation_scale_forest",
+                  self.use_symmetric_vegetation_scale_forest)
+            p_real("  Vegetation isolation factor",
+                   "vegetation_isolation_factor_forest",
+                   self.vegetation_isolation_factor_forest)
+            if self.do_sw:
+                p_int("  SW diffuse streams per hemisphere",
+                      "n_stream_sw_forest", self.n_stream_sw_forest)
+            if self.do_lw:
+                p_int("  LW streams per hemisphere",
+                      "n_stream_lw_forest", self.n_stream_lw_forest)
+        if self.do_urban:
+            write("Settings for urban areas:\n")
+            p_real("  Minimum building fraction",
+                   "min_building_fraction", self.min_building_fraction)
+            if self.do_vegetation:
+                p_int("  Number of vegetation regions",
+                      "n_vegetation_region_urban",
+                      self.n_vegetation_region_urban)
+                p_log("  Use symmetric vegetation scale",
+                      "use_symmetric_vegetation_scale_urban",
+                      self.use_symmetric_vegetation_scale_urban)
+                p_real("  Vegetation isolation factor",
+                       "vegetation_isolation_factor_urban",
+                       self.vegetation_isolation_factor_urban)
+            if self.do_sw:
+                p_int("  SW diffuse streams per hemisphere",
+                      "n_stream_sw_urban", self.n_stream_sw_urban)
+            if self.do_lw:
+                p_int("  LW streams per hemisphere",
+                      "n_stream_lw_urban", self.n_stream_lw_urban)
+
 
 @dataclass
 class DriverConfig:

@@ -10,6 +10,8 @@ from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
 from spartacus_surface_tpu.parallel import distributed as dist
 from tests.test_solver_conservation import make_inputs, residual_sw
 
+pytestmark = pytest.mark.slow
+
 
 def test_host_column_slice_single_process():
     s = dist.host_column_slice(100)

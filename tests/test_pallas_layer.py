@@ -13,6 +13,8 @@ from spartacus_surface_tpu.ops.pallas_layer import (
     TILE, pallas_layer_matrices, pallas_layer_thin_double)
 from tests.test_layer_matrices import make_gammas
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("ns,nreg", [(4, 2), (2, 1), (1, 2)])
 def test_pallas_matches_xla(ns, nreg):

@@ -19,6 +19,8 @@ from spartacus_surface_tpu.models.solver import (
 from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
 from tests.test_solver_conservation import add_lw, make_inputs
 
+pytestmark = pytest.mark.slow
+
 
 def _compare(ref, got, tag, rtol=3e-5):
     for rd, pd in zip(ref, got):

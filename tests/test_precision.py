@@ -13,6 +13,9 @@ from spartacus_surface_tpu.models.solver import (
     SolverOptions, spartacus_lw, spartacus_sw)
 from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
 from tests.test_solver_conservation import add_lw, make_inputs, residual_sw
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _cast(inp, dtype):

@@ -184,7 +184,6 @@ def test_single_layer_solvers(tmp_path, itype):
     # Ground flux decreases as buildings get taller (deeper canyons)
     gd = o["ground_flux_dn_sw"]
     assert gd[0] > gd[-1]
-    return o
 
 
 def test_multiband_lw_extension(tmp_path):

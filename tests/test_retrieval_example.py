@@ -4,6 +4,9 @@ by orders of magnitude (a capability the reference does not have)."""
 
 import os
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

@@ -12,6 +12,8 @@ from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
 from spartacus_surface_tpu.parallel.mesh import make_mesh, shard_inputs_by_column
 from tests.test_solver_conservation import make_inputs
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
 def test_sharded_equals_single_device():
