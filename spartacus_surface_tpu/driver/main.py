@@ -55,6 +55,14 @@ def build_argparser():
              " backend (default: NetCDF3 classic, as the reference driver)",
     )
     p.add_argument(
+        "--mesh", default="auto", metavar="auto|off|N",
+        help="Device-mesh column sharding: 'auto' (default) builds a 1-D"
+             " mesh over all local devices when more than one is visible,"
+             " 'off' forces single-device, an integer N uses the first N"
+             " devices. The TPU-native equivalent of the reference's OpenMP"
+             " column blocks (spartacus_surface_driver.F90:199-234).",
+    )
+    p.add_argument(
         "--platform", choices=("default", "cpu", "tpu"), default="default",
         help=(
             "JAX platform; 'default' uses whatever the environment provides"
@@ -125,6 +133,41 @@ def main(argv=None):
     arrays = data["arrays"]
     ncol = data["ncol"]
 
+    # Multi-process execution: each host handles its own contiguous slice
+    # of columns end-to-end (columns are embarrassingly parallel; the
+    # reference's OpenMP loop has no inter-column coupling).  Output files
+    # then carry a .pNN suffix per process.
+    proc_suffix = ""
+    if jax.process_count() > 1:
+        from ..parallel.distributed import host_column_slice
+
+        hsl = host_column_slice(ncol)
+        for key, val in list(arrays.items()):
+            arrays[key] = val[hsl]
+        for key in ("top_flux_dn_sw", "top_flux_dn_direct_sw",
+                    "top_flux_dn_lw"):
+            if data[key] is not None:
+                data[key] = data[key][hsl]
+        ncol = hsl.stop - hsl.start
+        proc_suffix = f".p{jax.process_index():02d}"
+        log(f"Process {jax.process_index()}/{jax.process_count()}:"
+            f" columns {hsl.start + 1} to {hsl.stop}")
+
+    # Device mesh over the column axis (parallel/mesh.py)
+    mesh = None
+    if args.mesh != "off":
+        from ..parallel.mesh import make_mesh
+
+        n_local = len(jax.local_devices())
+        if args.mesh == "auto":
+            if n_local > 1:
+                mesh = make_mesh(devices=jax.local_devices())
+        else:
+            mesh = make_mesh(int(args.mesh))
+        if mesh is not None:
+            log(f"Parallel: sharding columns over {mesh.devices.size}"
+                f" devices (mesh axes {dict(zip(mesh.axis_names, mesh.devices.shape))})")
+
     # Column-range selection (spartacus_surface_driver.F90:153-164)
     icol1 = driver_config.istartcol
     icol2 = driver_config.iendcol
@@ -162,7 +205,7 @@ def main(argv=None):
     tstart = time.perf_counter()
     for _ in range(max(1, driver_config.nrepeat)):
         with profiling.hook("radsurf"):
-            result = run_radsurf(config, arrays)
+            result = run_radsurf(config, arrays, mesh=mesh)
         if config.do_sw:
             sw_norm_dir = flux_utils.scale_flux(
                 result["sw_norm_dir"], data["top_flux_dn_direct_sw"]
@@ -177,6 +220,9 @@ def main(argv=None):
                 result["lw_norm"], data["top_flux_dn_lw"]
             )
             lw_flux = flux_utils.sum_flux(result["lw_internal"], lw_norm)
+        # Results are asynchronous device arrays; block for honest timing
+        # (the reference's omp_get_wtime brackets the complete solve).
+        jax.block_until_ready((sw_flux, lw_flux))
     elapsed = time.perf_counter() - tstart
     log(f"Time elapsed in radiative transfer: {elapsed:g} seconds")
 
@@ -197,7 +243,8 @@ def main(argv=None):
             flux_utils.check_flux(result["lw_norm"], arrays, "lw_norm")
 
     with profiling.hook("save"):
-        save_canopy_fluxes(args.output, config, arrays, sw_flux, lw_flux,
+        save_canopy_fluxes(args.output + proc_suffix, config, arrays,
+                           sw_flux, lw_flux,
                            iverbose=iverbose, is_hdf5_file=args.netcdf4)
     if args.profile:
         profiling.stop_trace()

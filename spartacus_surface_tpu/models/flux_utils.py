@@ -59,13 +59,18 @@ def check_flux(flux: dict, arrays: dict, name: str, printer=print):
     )
     is_veg = np.isin(rep, [TILE_FOREST, TILE_VEGETATED_URBAN])
 
-    ground = flux["ground_net"].sum(-1)
-    top = flux["top_net"].sum(-1)
-    air = np.where(is_canopy, flux["clear_air_abs"].sum((-1, -2)), 0.0)
-    wall = np.where(is_urban, flux["wall_net"].sum((-1, -2)), 0.0)
-    roof = np.where(is_urban, flux["roof_net"].sum((-1, -2)), 0.0)
-    veg = np.where(is_veg, flux["veg_abs"].sum((-1, -2)), 0.0)
-    veg_air = np.where(is_veg, flux["veg_air_abs"].sum((-1, -2)), 0.0)
+    # The spectral/layer reductions run on device (a sharded reduction when
+    # the flux arrays live on a column mesh); only the [C] budget vectors
+    # are gathered to host for printing.
+    ground = np.asarray(flux["ground_net"].sum(-1))
+    top = np.asarray(flux["top_net"].sum(-1))
+    air = np.where(is_canopy, np.asarray(flux["clear_air_abs"].sum((-1, -2))),
+                   0.0)
+    wall = np.where(is_urban, np.asarray(flux["wall_net"].sum((-1, -2))), 0.0)
+    roof = np.where(is_urban, np.asarray(flux["roof_net"].sum((-1, -2))), 0.0)
+    veg = np.where(is_veg, np.asarray(flux["veg_abs"].sum((-1, -2))), 0.0)
+    veg_air = np.where(is_veg, np.asarray(flux["veg_air_abs"].sum((-1, -2))),
+                       0.0)
     residual = ground + air + wall + roof + veg + veg_air - top
 
     printer(

@@ -198,19 +198,13 @@ class SolverOptions:
 def _prepare_geometry(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
                       lw: bool):
     nreg = opt.nreg
-    # The forest path must ignore building inputs entirely (the reference's
-    # forest solvers never read them, radsurf_forest_sw.F90:226-234): input
-    # files may carry -1 sentinels in building_fraction for forest columns,
-    # which would otherwise corrupt region fractions and perimeters.
-    building_fraction = (
-        inp.building_fraction if opt.do_urban
-        else jnp.zeros_like(inp.building_fraction)
-    )
-    frac = region_fracs(inp.veg_fraction, building_fraction, nreg)
+    # building_fraction is pre-sanitized to zeros for forest solves by
+    # _sanitize_forest (public entry points) — see that helper's docstring.
+    frac = region_fracs(inp.veg_fraction, inp.building_fraction, nreg)
     od_scal = od_scaling_from_fsd(inp.veg_fsd, nreg)
     u_ov, v_ov = overlap_matrices_urban(frac, nreg, opt.min_vegetation_fraction)
     norm_perim, norm_perim_wall = norm_perim_urban(
-        building_fraction,
+        inp.building_fraction,
         inp.building_scale,
         inp.veg_fraction,
         inp.veg_scale,
@@ -454,17 +448,13 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
     itr = _itransp(inp.air_ext, inp.dz)
     air_ext_t = jnp.take_along_axis(inp.air_ext, itr[:, None, None], axis=-1)[..., 0]
 
-    # Roof/non-building fractions (radsurf_urban_sw.F90:292-298); forest
-    # ignores building inputs (may be -1 file sentinels there)
-    bf_cur = (
-        inp.building_fraction if opt.do_urban
-        else jnp.zeros_like(inp.building_fraction)
-    )
+    # Roof/non-building fractions (radsurf_urban_sw.F90:292-298);
+    # building_fraction is zeros for forest (_sanitize_forest)
     bf_above = jnp.concatenate(
-        [bf_cur[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
+        [inp.building_fraction[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
     )
-    roof_fraction = jnp.maximum(0.0, bf_cur - bf_above)  # [C, L]
-    nbf = 1.0 - bf_cur  # [C, L]
+    roof_fraction = jnp.maximum(0.0, inp.building_fraction - bf_above)
+    nbf = 1.0 - inp.building_fraction  # [C, L]
     nbf_above = 1.0 - bf_above
 
     # Clear-sky direct transmittance per layer at itransp
@@ -1252,15 +1242,11 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
 
     # Exposed-roof fraction at the top of each layer
     # (radsurf_urban_lw.F90:589-599; padding makes the top-of-canopy case
-    # automatic).  Forest ignores building inputs (may be -1 sentinels).
-    bf_cur = (
-        inp.building_fraction if opt.do_urban
-        else jnp.zeros_like(inp.building_fraction)
-    )
+    # automatic).  building_fraction is zeros for forest (_sanitize_forest).
     bf_above = jnp.concatenate(
-        [bf_cur[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
+        [inp.building_fraction[:, 1:], jnp.zeros((C, 1), dtype)], axis=1
     )
-    exposed_roof = jnp.maximum(0.0, bf_cur - bf_above)
+    exposed_roof = jnp.maximum(0.0, inp.building_fraction - bf_above)
 
     if _use_pallas_sweeps(opt, lg):
         return _lw_pallas_path(
@@ -1532,6 +1518,23 @@ def _lw_diff_bwd(opt, lg, with_profiles, inp, ct):
 _lw_diff.defvjp(_lw_diff_fwd, _lw_diff_bwd)
 
 
+def _sanitize_forest(inp: CanopyInputs, opt: SolverOptions) -> CanopyInputs:
+    """Forest solves must ignore building inputs entirely (the reference's
+    forest solvers never read them, radsurf_forest_sw.F90:226-234): input
+    files may carry -1 sentinels in building_fraction for forest columns,
+    which would otherwise corrupt region fractions, perimeters, roof
+    fractions and the clear-sky sunlit recurrences.  Zeroing ONCE here
+    keeps every downstream path (XLA scan, Pallas factory, Pallas sweeps)
+    consistent."""
+    if opt.do_urban or inp.building_fraction is None:
+        return inp
+    from dataclasses import replace
+
+    return replace(
+        inp, building_fraction=jnp.zeros_like(inp.building_fraction)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
 def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
                  with_profiles: bool = False):
@@ -1541,7 +1544,8 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         _sw_diff if (_use_pallas(opt) or _use_pallas_sweeps(opt, lg))
         else _spartacus_sw_impl
     )
-    return _chunked_solve(impl, inp, opt, lg, with_profiles)
+    return _chunked_solve(impl, _sanitize_forest(inp, opt), opt, lg,
+                          with_profiles)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
@@ -1553,4 +1557,5 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         _lw_diff if (_use_pallas(opt) or _use_pallas_sweeps(opt, lg))
         else _spartacus_lw_impl
     )
-    return _chunked_solve(impl, inp, opt, lg, with_profiles)
+    return _chunked_solve(impl, _sanitize_forest(inp, opt), opt, lg,
+                          with_profiles)

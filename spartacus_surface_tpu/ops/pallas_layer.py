@@ -52,10 +52,8 @@ def factory_scratch_bytes(nd: int, ndir: int, itemsize: int = 4) -> int:
         rows = (
             (2 * nd * nd + nd * ndir)  # AS
             + 8 * ndir * ndir          # DSM
-            + 14 * nd * ndir           # XY
-            + 6 * nd * nd              # POW
-            + 6 * nd * nd              # PXU
-            + 4 * nd * nd              # VMU
+            + 10 * nd * ndir           # XY
+            + 9 * nd * nd              # BIG (powers/polys/VMU/extraction)
             + N * N                    # F
             + common
         )
@@ -67,6 +65,33 @@ def factory_scratch_bytes(nd: int, ndir: int, itemsize: int = 4) -> int:
 # ----------------------------------------------------------------------
 # In-VMEM batched linear algebra on [rows, 8, 128] buffers
 # ----------------------------------------------------------------------
+
+class _View:
+    """A row-offset window into a [rows, 8, 128] scratch ref.
+
+    Lets ONE VMEM buffer serve several workspace roles whose lifetimes
+    don't overlap (the structured kernel's powers/polynomials/solve/
+    extraction stages), cutting the scratch footprint enough that
+    nreg=3 x 4-stream (nd=12) fits the 16 MB scoped-VMEM limit.  All
+    offsets are static Python ints, so indexing stays fully static.
+    """
+
+    __slots__ = ("ref", "base")
+
+    def __init__(self, ref, base: int):
+        self.ref = ref
+        self.base = base
+
+    def _shift(self, idx):
+        if isinstance(idx, int):
+            return idx + self.base
+        return pl.ds(idx.start + self.base, idx.size)
+
+    def __getitem__(self, idx):
+        return self.ref[self._shift(idx)]
+
+    def __setitem__(self, idx, val):
+        self.ref[self._shift(idx)] = val
 
 def _matmul(out, a, b, n, p, m, accumulate=False, scale=None):
     """out(n x m) = a(n x p) @ b(p x m), all [rows, 8, 128] refs.
@@ -405,7 +430,7 @@ def _extract_double(nd, ndir, n_K, F, W1, W2, W3, RT, SS, EE, rec,
 
 def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
                              g3_ref, dz_ref, r_out, t_out, e_out, sup_out,
-                             sdn_out, AS, DSM, XY, POW, PXU, VMU, F, RT, SS,
+                             sdn_out, AS, DSM, XY, BIG, F, RT, SS,
                              EE, rec):
     """Structured expm exploiting the SPARTACUS block symmetry.
 
@@ -425,9 +450,18 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
     f32 rounding in tests.
 
     Slot layouts (rows): AS = [Bm | Cm | b]; DSM = [D | D2 | D4 | D6 |
-    vd | ud | m | f33]; XY = 14 nd*ndir slots [x2 y2 x3 y3 x4 y4 x5 y5
-    x6 y6 xv yv xu yu]; POW = [W | W' | W2 | W'2 | W3 | W'3]; PXU =
-    [vw | uw | vw' | uw' | P12 | P21]; VMU = (2nd)^2; F = N^2.
+    vd | ud | m | f33]; XY = 10 nd*ndir slots [x2 y2 x3 y3 x4 y4 x5 y5
+    x6 y6] (the Pade combinations xv/yv/xu/yu and the U13/U23 blocks
+    overwrite slots whose recurrence role has ended — see below);
+    BIG = 9 nd*nd slots shared across the kernel's stages:
+      powers/polys:  [W | W' | W2 | W'2 | TMP | vw | vw' | P12 | P21]
+      (V - U) solve: VMU = (2nd)^2 rows over slots 0-3 (the power slots
+      are dead once the XY recurrences are done);
+      extraction:    W1 = slot 4, W2 = slots 5-6, W3 = slots 7-8;
+      Schur ints:    five nd*nd workspaces in slots 0-4.
+    F = N^2.  This sharing is what brings nreg=3 x 4-stream (nd=12,
+    N=27) under the 16 MB scoped-VMEM limit (ROADMAP item: VMEM
+    slimming for nreg=3).
     """
     N = 2 * nd + ndir
     n2 = nd * nd
@@ -438,11 +472,16 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
         k * ndir * ndir for k in range(8)
     )
     nr = nd * ndir
-    (x2, y2, x3, y3, x4, y4, x5, y5, x6, y6, xv, yv, xu, yu) = (
-        k * nr for k in range(14)
+    # Recurrence slots; the late-stage quantities reuse finished slots:
+    # xv -> x3, yv -> y3, xu -> x5, yu -> y5, U13 -> x2, U23 -> y2.
+    (x2, y2, x3, y3, x4, y4, x5, y5, x6, y6) = (
+        k * nr for k in range(10)
     )
-    p_w, p_wp, p_w2, p_wp2, p_w3, p_wp3 = (k * n2 for k in range(6))
-    q_vw, q_uw, q_vwp, q_uwp, q_p12, q_p21 = (k * n2 for k in range(6))
+    xv, yv, xu, yu = x3, y3, x5, y5
+    u13, u23 = x2, y2
+    POW = PXU = VMU = BIG
+    p_w, p_wp, p_w2, p_wp2, p_tmp = (k * n2 for k in range(5))
+    q_vw, q_vwp, q_p12, q_p21 = (k * n2 for k in range(5, 9))
 
     # ---- assembly in the transformed basis, scaled by dz
     for i in range(nd):
@@ -481,34 +520,47 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
     AS[pl.ds(0, 2 * n2 + nr)] = AS[pl.ds(0, 2 * n2 + nr)] * fac
     DSM[pl.ds(d_d, ndir * ndir)] = DSM[pl.ds(d_d, ndir * ndir)] * fac
 
-    # ---- half-size powers
-    _mmo(POW, p_w, AS, o_bm, AS, o_cm, nd, nd, nd)     # W  = Bm Cm
-    _mmo(POW, p_wp, AS, o_cm, AS, o_bm, nd, nd, nd)    # W' = Cm Bm
-    _mmo(POW, p_w2, POW, p_w, POW, p_w, nd, nd, nd)
-    _mmo(POW, p_wp2, POW, p_wp, POW, p_wp, nd, nd, nd)
-    _mmo(POW, p_w3, POW, p_w, POW, p_w2, nd, nd, nd)
-    _mmo(POW, p_wp3, POW, p_wp, POW, p_wp2, nd, nd, nd)
+    # ---- half-size powers (W3/W'3 are transient, built in TMP below)
+    _mmo(BIG, p_w, AS, o_bm, AS, o_cm, nd, nd, nd)     # W  = Bm Cm
+    _mmo(BIG, p_wp, AS, o_cm, AS, o_bm, nd, nd, nd)    # W' = Cm Bm
+    _mmo(BIG, p_w2, BIG, p_w, BIG, p_w, nd, nd, nd)
+    _mmo(BIG, p_wp2, BIG, p_wp, BIG, p_wp, nd, nd, nd)
 
-    # ---- even/odd Pade polynomials of the half-size blocks
-    for (dst, src) in ((q_vw, p_w), (q_vwp, p_wp)):
-        PXU[pl.ds(dst, n2)] = (
-            b[2] * POW[pl.ds(src, n2)]
-            + b[4] * POW[pl.ds(src + 2 * n2, n2)]
-            + b[6] * POW[pl.ds(src + 4 * n2, n2)]
-        )
-    for (dst, src) in ((q_uw, p_w), (q_uwp, p_wp)):
-        PXU[pl.ds(dst, n2)] = (
-            b[3] * POW[pl.ds(src, n2)]
-            + b[5] * POW[pl.ds(src + 2 * n2, n2)]
-            + b[7] * POW[pl.ds(src + 4 * n2, n2)]
-        )
+    # ---- even/odd Pade polynomials of the half-size blocks.
+    # W side: TMP = W^3; vw = b0 I + b2 W + b4 W2 + b6 W3; u(W) lives in
+    # the (future) P12 slot just long enough to form P21 = Cm u(W).
+    _mmo(BIG, p_tmp, BIG, p_w, BIG, p_w2, nd, nd, nd)   # W^3
+    BIG[pl.ds(q_vw, n2)] = (
+        b[2] * BIG[pl.ds(p_w, n2)]
+        + b[4] * BIG[pl.ds(p_w2, n2)]
+        + b[6] * BIG[pl.ds(p_tmp, n2)]
+    )
+    BIG[pl.ds(q_p12, n2)] = (
+        b[3] * BIG[pl.ds(p_w, n2)]
+        + b[5] * BIG[pl.ds(p_w2, n2)]
+        + b[7] * BIG[pl.ds(p_tmp, n2)]
+    )
     for i in range(nd):
-        PXU[q_vw + i * nd + i] = PXU[q_vw + i * nd + i] + b[0]
-        PXU[q_vwp + i * nd + i] = PXU[q_vwp + i * nd + i] + b[0]
-        PXU[q_uw + i * nd + i] = PXU[q_uw + i * nd + i] + b[1]
-        PXU[q_uwp + i * nd + i] = PXU[q_uwp + i * nd + i] + b[1]
-    _mmo(PXU, q_p12, AS, o_bm, PXU, q_uwp, nd, nd, nd)  # Bm u(W')
-    _mmo(PXU, q_p21, AS, o_cm, PXU, q_uw, nd, nd, nd)   # Cm u(W)
+        BIG[q_vw + i * nd + i] = BIG[q_vw + i * nd + i] + b[0]
+        BIG[q_p12 + i * nd + i] = BIG[q_p12 + i * nd + i] + b[1]
+    _mmo(BIG, q_p21, AS, o_cm, BIG, q_p12, nd, nd, nd)  # P21 = Cm u(W)
+    # W' side: TMP = W'^3, then u(W') built IN PLACE over TMP
+    # (elementwise combination), then P12 = Bm u(W') lands in its slot.
+    _mmo(BIG, p_tmp, BIG, p_wp, BIG, p_wp2, nd, nd, nd)  # W'^3
+    BIG[pl.ds(q_vwp, n2)] = (
+        b[2] * BIG[pl.ds(p_wp, n2)]
+        + b[4] * BIG[pl.ds(p_wp2, n2)]
+        + b[6] * BIG[pl.ds(p_tmp, n2)]
+    )
+    BIG[pl.ds(p_tmp, n2)] = (
+        b[3] * BIG[pl.ds(p_wp, n2)]
+        + b[5] * BIG[pl.ds(p_wp2, n2)]
+        + b[7] * BIG[pl.ds(p_tmp, n2)]
+    )
+    for i in range(nd):
+        BIG[q_vwp + i * nd + i] = BIG[q_vwp + i * nd + i] + b[0]
+        BIG[p_tmp + i * nd + i] = BIG[p_tmp + i * nd + i] + b[1]
+    _mmo(BIG, q_p12, AS, o_bm, BIG, p_tmp, nd, nd, nd)  # P12 = Bm u(W')
 
     # ---- direct block: powers of D, vd/ud, F33 = (vd - D ud)^-1 (vd + D ud)
     _mmo(DSM, d_2, DSM, d_d, DSM, d_d, ndir, ndir, ndir)
@@ -542,17 +594,19 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
     _mmo(XY, x2, AS, o_bm, AS, o_b, nd, nd, ndir)        # x2 = Bm b
     _mmo(XY, y2, AS, o_b, DSM, d_d, nd, ndir, ndir)      # y2 = b D
     _mmo(XY, x3, XY, x2, DSM, d_d, nd, ndir, ndir)       # x3 = x2 D
-    _mmo(XY, y3, POW, p_wp, AS, o_b, nd, nd, ndir)       # y3 = W' b
+    _mmo(XY, y3, BIG, p_wp, AS, o_b, nd, nd, ndir)       # y3 = W' b
     _mmo(XY, y3, XY, y2, DSM, d_d, nd, ndir, ndir, accumulate=True)
-    _mmo(XY, x4, POW, p_w, XY, x2, nd, nd, ndir)         # x4 = W x2
+    _mmo(XY, x4, BIG, p_w, XY, x2, nd, nd, ndir)         # x4 = W x2
     _mmo(XY, x4, XY, x3, DSM, d_d, nd, ndir, ndir, accumulate=True)
     _mmo(XY, y4, XY, y3, DSM, d_d, nd, ndir, ndir)       # y4 = y3 D
     _mmo(XY, x5, XY, x4, DSM, d_d, nd, ndir, ndir)       # x5 = x4 D
-    _mmo(XY, y5, POW, p_wp2, AS, o_b, nd, nd, ndir)      # y5 = W'^2 b
+    _mmo(XY, y5, BIG, p_wp2, AS, o_b, nd, nd, ndir)      # y5 = W'^2 b
     _mmo(XY, y5, XY, y4, DSM, d_d, nd, ndir, ndir, accumulate=True)
-    _mmo(XY, x6, POW, p_w2, XY, x2, nd, nd, ndir)        # x6 = W^2 x2
+    _mmo(XY, x6, BIG, p_w2, XY, x2, nd, nd, ndir)        # x6 = W^2 x2
     _mmo(XY, x6, XY, x5, DSM, d_d, nd, ndir, ndir, accumulate=True)
     _mmo(XY, y6, XY, y5, DSM, d_d, nd, ndir, ndir)       # y6 = y5 D
+    # Pade combinations into finished recurrence slots: xv -> x3 (dead
+    # after x4), xu -> x5 (dead after x6), yv -> y3, yu -> y5.
     XY[pl.ds(xv, nr)] = (
         b[2] * XY[pl.ds(x2, nr)] + b[4] * XY[pl.ds(x4, nr)]
         + b[6] * XY[pl.ds(x6, nr)]
@@ -569,10 +623,10 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
         b[3] * XY[pl.ds(y2, nr)] + b[5] * XY[pl.ds(y4, nr)]
         + b[7] * XY[pl.ds(y6, nr)]
     )
-    # U13 = Bm yu -> x3 slot (free); U23 = Cm xu + b ud -> y3 slot (free)
-    _mmo(XY, x3, AS, o_bm, XY, yu, nd, nd, ndir)
-    _mmo(XY, y3, AS, o_cm, XY, xu, nd, nd, ndir)
-    _mmo(XY, y3, AS, o_b, DSM, d_ud, nd, ndir, ndir, accumulate=True)
+    # U13 = Bm yu -> x2 slot (free); U23 = Cm xu + b ud -> y2 slot (free)
+    _mmo(XY, u13, AS, o_bm, XY, yu, nd, nd, ndir)
+    _mmo(XY, u23, AS, o_cm, XY, xu, nd, nd, ndir)
+    _mmo(XY, u23, AS, o_b, DSM, d_ud, nd, ndir, ndir, accumulate=True)
 
     # ---- assemble (V - U) in VMU and the RHS = (V + U) with the direct
     # column pre-corrected by F33, into F's first 2nd rows (stride N)
@@ -588,15 +642,15 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
         F[pl.ds((nd + i) * N, nd)] = PXU[pl.ds(q_p21 + i * nd, nd)]
         F[pl.ds((nd + i) * N + nd, nd)] = PXU[pl.ds(q_vwp + i * nd, nd)]
         # top col3: (xv + U13) - (xv - U13) @ F33
-        tp = XY[pl.ds(xv + i * ndir, ndir)] + XY[pl.ds(x3 + i * ndir, ndir)]
-        tm = XY[pl.ds(xv + i * ndir, ndir)] - XY[pl.ds(x3 + i * ndir, ndir)]
+        tp = XY[pl.ds(xv + i * ndir, ndir)] + XY[pl.ds(u13 + i * ndir, ndir)]
+        tm = XY[pl.ds(xv + i * ndir, ndir)] - XY[pl.ds(u13 + i * ndir, ndir)]
         corr = tm[0] * DSM[pl.ds(d_f33, ndir)]
         for e in range(1, ndir):
             corr = corr + tm[e] * DSM[pl.ds(d_f33 + e * ndir, ndir)]
         F[pl.ds(i * N + 2 * nd, ndir)] = tp - corr
         # mid col3: (yv + U23) - (yv - U23) @ F33
-        tp = XY[pl.ds(yv + i * ndir, ndir)] + XY[pl.ds(y3 + i * ndir, ndir)]
-        tm = XY[pl.ds(yv + i * ndir, ndir)] - XY[pl.ds(y3 + i * ndir, ndir)]
+        tp = XY[pl.ds(yv + i * ndir, ndir)] + XY[pl.ds(u23 + i * ndir, ndir)]
+        tm = XY[pl.ds(yv + i * ndir, ndir)] - XY[pl.ds(u23 + i * ndir, ndir)]
         corr = tm[0] * DSM[pl.ds(d_f33, ndir)]
         for e in range(1, ndir):
             corr = corr + tm[e] * DSM[pl.ds(d_f33 + e * ndir, ndir)]
@@ -630,7 +684,12 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
             pl.ds(d_f33 + i * ndir, ndir)
         ]
 
-    _extract_double(nd, ndir, n_K, F, VMU, POW, PXU, RT, SS, EE, rec,
+    # Extraction workspaces carved from BIG (the VMU/power/poly regions
+    # are all dead now): W1 = TMP slot (nd^2), W2 = vw+vw' slots
+    # (2 nd^2 >= nd*(nd+ndir)), W3 = P12+P21 slots (2 nd^2 >= 3 nd*ndir).
+    _extract_double(nd, ndir, n_K, F,
+                    _View(BIG, 4 * n2), _View(BIG, 5 * n2),
+                    _View(BIG, 7 * n2), RT, SS, EE, rec,
                     r_out, t_out, e_out, sup_out, sdn_out)
 
 
@@ -727,10 +786,8 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
         scratch = [
             pltpu.VMEM((2 * nd * nd + nd * ndir, SUBLANES, LANES), dtype),
             pltpu.VMEM((8 * ndir * ndir, SUBLANES, LANES), dtype),  # DSM
-            pltpu.VMEM((14 * nd * ndir, SUBLANES, LANES), dtype),  # XY
-            pltpu.VMEM((6 * nd * nd, SUBLANES, LANES), dtype),  # POW
-            pltpu.VMEM((6 * nd * nd, SUBLANES, LANES), dtype),  # PXU
-            pltpu.VMEM((4 * nd * nd, SUBLANES, LANES), dtype),  # VMU
+            pltpu.VMEM((10 * nd * ndir, SUBLANES, LANES), dtype),  # XY
+            pltpu.VMEM((9 * nd * nd, SUBLANES, LANES), dtype),  # BIG
             pltpu.VMEM((N * N, SUBLANES, LANES), dtype),  # F
         ] + common
     else:
@@ -748,16 +805,18 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
         outs_refs = rest[: len(rows_list)]
         ro, to, eo, supo, sdno = outs_refs[:5]
         if structured:
-            AS, DSM, XY, POW, PXU, VMU, F, RT, SS, EE, rec = rest[
+            AS, DSM, XY, BIG, F, RT, SS, EE, rec = rest[
                 len(rows_list):
             ]
             _layer_kernel_structured(
                 nd, ndir, n_double,
                 g0r, g1r, g2r, g3r, dzr,
                 ro, to, eo, supo, sdno,
-                AS, DSM, XY, POW, PXU, VMU, F, RT, SS, EE, rec,
+                AS, DSM, XY, BIG, F, RT, SS, EE, rec,
             )
-            ws = (POW, PXU, VMU, F, AS)
+            # Schur integral workspaces: five nd^2 regions of BIG (every
+            # structured-stage value in it is dead after extraction)
+            ws = tuple(_View(BIG, k * nd * nd) for k in range(5))
         else:
             G, F, W1, W2, W3, RT, SS, EE, rec = rest[len(rows_list):]
             _layer_kernel(

@@ -16,10 +16,12 @@ from tests.test_layer_matrices import make_gammas
 pytestmark = pytest.mark.slow
 
 
-@pytest.mark.parametrize("ns,nreg", [(4, 2), (2, 1), (1, 2)])
+@pytest.mark.parametrize("ns,nreg", [(4, 2), (2, 1), (1, 2), (4, 3)])
 def test_pallas_matches_xla(ns, nreg):
-    # (4,2)/(2,1) take the structured half-size expm; (1,2) keeps the
-    # dense-Pade fallback (1-stream systems have no diffuse block split)
+    # (4,2)/(2,1)/(4,3) take the structured half-size expm; (1,2) keeps the
+    # dense-Pade fallback (1-stream systems have no diffuse block split).
+    # (4,3) is the RAMI-V flagship config (nd=12): its scratch now fits
+    # the VMEM guard via the shared-workspace layout (BIG buffer).
     rng = np.random.default_rng(3)
     nd, ndir = ns * nreg, nreg
     B = TILE
