@@ -137,7 +137,24 @@ def _parity_block(g, SolverOptions, LegendreGauss, spartacus_sw, spartacus_lw):
     return out
 
 
-def main():
+def _block(fn, metric):
+    """Fail-soft block runner: one bad config can never erase the other
+    blocks' evidence (round-2 lesson: the nreg=3 compile crash killed the
+    whole bench before a single metric printed).  Prints either the
+    block's own JSON line or {"metric": ..., "error": tail}; returns
+    whether the block succeeded."""
+    import traceback
+
+    try:
+        fn()
+        return True
+    except Exception:
+        tail = traceback.format_exc()[-1500:]
+        print(json.dumps({"metric": metric, "error": tail}))
+        return False
+
+
+def main() -> int:
     import jax
 
     import __graft_entry__ as g
@@ -146,57 +163,73 @@ def main():
     from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
 
     n_chips = jax.device_count()
+    put = lambda x: None if x is None else jax.device_put(x)
+    lg4 = LegendreGauss(4)
+    status = {"parity_ok": False, "headline_ok": False}
 
     # --- on-chip kernel parity (auto path vs XLA reference) -------------
-    parity = _parity_block(
-        g, SolverOptions, LegendreGauss, spartacus_sw, spartacus_lw)
-    parity_ok = all(v < 5e-4 for v in parity.values())
-    print(json.dumps({
-        "metric": "pallas_xla_parity_max_rel_err",
-        "value": max(parity.values()),
-        "unit": "rel_err",
-        "ok": parity_ok,
-        "per_config": parity,
-    }))
+    def parity_blk():
+        parity = _parity_block(
+            g, SolverOptions, LegendreGauss, spartacus_sw, spartacus_lw)
+        parity_ok = all(v < 5e-4 for v in parity.values())
+        status["parity_ok"] = parity_ok
+        print(json.dumps({
+            "metric": "pallas_xla_parity_max_rel_err",
+            "value": max(parity.values()),
+            "unit": "rel_err",
+            "ok": parity_ok,
+            "per_config": parity,
+        }))
 
-    put = lambda x: None if x is None else jax.device_put(x)
+    _block(parity_blk, "pallas_xla_parity_max_rel_err")
 
     # --- nreg=3 x 4-stream (RAMI-V flagship config, nd=12) --------------
-    C3 = 8192
-    opt3 = SolverOptions(nreg=3, nstream=4, do_urban=True)
-    lg4 = LegendreGauss(4)
-    sw3, lw3 = g._example_inputs(C=C3, L=8, S=1, dtype=np.float32)
-    sw3 = jax.tree_util.tree_map(put, sw3)
-    lw3 = jax.tree_util.tree_map(put, lw3)
-    run3 = _make_run_n(opt3, lg4, spartacus_sw, spartacus_lw)
-    cps3 = _measure(run3, sw3, lw3, C3) / n_chips
-    print(json.dumps({
-        "metric": "columns_per_sec_per_chip_sw_lw_urban8lay_nreg3",
-        "value": round(cps3, 1),
-        "unit": "columns/s/chip",
-        "vs_baseline": round(cps3 / ROUND1_BASELINE_COLS_PER_SEC, 3),
-    }))
+    def nreg3_blk():
+        C3 = 8192
+        opt3 = SolverOptions(nreg=3, nstream=4, do_urban=True)
+        sw3, lw3 = g._example_inputs(C=C3, L=8, S=1, dtype=np.float32)
+        sw3 = jax.tree_util.tree_map(put, sw3)
+        lw3 = jax.tree_util.tree_map(put, lw3)
+        run3 = _make_run_n(opt3, lg4, spartacus_sw, spartacus_lw)
+        cps3 = _measure(run3, sw3, lw3, C3) / n_chips
+        print(json.dumps({
+            "metric": "columns_per_sec_per_chip_sw_lw_urban8lay_nreg3",
+            "value": round(cps3, 1),
+            "unit": "columns/s/chip",
+            "vs_baseline": round(cps3 / ROUND1_BASELINE_COLS_PER_SEC, 3),
+        }))
+
+    _block(nreg3_blk, "columns_per_sec_per_chip_sw_lw_urban8lay_nreg3")
 
     # --- headline: nreg=2 x 4-stream ------------------------------------
-    C = 16384
-    opt = SolverOptions(nreg=2, nstream=4, do_urban=True)
-    sw_inp, lw_inp = g._example_inputs(C=C, L=8, S=1, dtype=np.float32)
-    sw_inp = jax.tree_util.tree_map(put, sw_inp)
-    lw_inp = jax.tree_util.tree_map(put, lw_inp)
-    run_n = _make_run_n(opt, lg4, spartacus_sw, spartacus_lw)
-    cols_per_sec_per_chip = _measure(run_n, sw_inp, lw_inp, C) / n_chips
-    print(json.dumps({
-        "metric": "columns_per_sec_per_chip_sw_lw_urban8lay",
-        "value": round(cols_per_sec_per_chip, 1),
-        "unit": "columns/s/chip",
-        "vs_baseline": round(
-            cols_per_sec_per_chip / ROUND1_BASELINE_COLS_PER_SEC, 3
-        ),
-        "vs_round1": round(
-            cols_per_sec_per_chip / ROUND1_HEADLINE_COLS_PER_SEC, 3
-        ),
-    }))
+    def headline_blk():
+        C = 16384
+        opt = SolverOptions(nreg=2, nstream=4, do_urban=True)
+        sw_inp, lw_inp = g._example_inputs(C=C, L=8, S=1, dtype=np.float32)
+        sw_inp = jax.tree_util.tree_map(put, sw_inp)
+        lw_inp = jax.tree_util.tree_map(put, lw_inp)
+        run_n = _make_run_n(opt, lg4, spartacus_sw, spartacus_lw)
+        cols_per_sec_per_chip = _measure(run_n, sw_inp, lw_inp, C) / n_chips
+        print(json.dumps({
+            "metric": "columns_per_sec_per_chip_sw_lw_urban8lay",
+            "value": round(cols_per_sec_per_chip, 1),
+            "unit": "columns/s/chip",
+            "vs_baseline": round(
+                cols_per_sec_per_chip / ROUND1_BASELINE_COLS_PER_SEC, 3
+            ),
+            "vs_round1": round(
+                cols_per_sec_per_chip / ROUND1_HEADLINE_COLS_PER_SEC, 3
+            ),
+        }))
+
+    status["headline_ok"] = _block(
+        headline_blk, "columns_per_sec_per_chip_sw_lw_urban8lay")
+
+    # Self-gating: the bench fails (rc != 0) if the headline could not be
+    # measured OR the on-chip parity check did not pass — parity is a hard
+    # gate, not advisory.
+    return 0 if (status["headline_ok"] and status["parity_ok"]) else 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -727,16 +727,18 @@ def _use_pallas(opt: SolverOptions) -> bool:
     # Auto: only the real-TPU single-precision path (the kernel's index
     # arithmetic is i32; x64 mode traces Python ints as i64, which
     # Mosaic rejects, and double-precision data belongs on the XLA
-    # path anyway), and only when the kernel's scratch fits the 16 MB
-    # scoped-VMEM limit (systems too big for it fall back to the XLA
-    # factory).
-    from ..ops.pallas_layer import factory_scratch_bytes
+    # path anyway), and only when the kernel's full VMEM bound — scratch
+    # PLUS double-buffered pipeline windows (the round-2 crash was the
+    # windows being omitted) — fits the per-kernel request cap.  The
+    # pallas_call itself raises its Mosaic vmem_limit_bytes to the same
+    # bound, so "guard passes" implies "kernel compiles".
+    from ..ops.pallas_layer import VMEM_REQUEST_CAP, factory_vmem_bytes
 
     nd = opt.nreg * opt.nstream
     return (
         jax.default_backend() == "tpu"
         and not jax.config.jax_enable_x64
-        and factory_scratch_bytes(nd, opt.nreg) < 14 * 2**20
+        and factory_vmem_bytes(nd, opt.nreg) * 1.25 <= VMEM_REQUEST_CAP
     )
 
 

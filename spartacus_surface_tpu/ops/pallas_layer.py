@@ -39,13 +39,13 @@ _PADE7_B = (17297280.0, 8648640.0, 1995840.0, 277200.0, 25200.0, 1512.0,
 
 
 def factory_scratch_bytes(nd: int, ndir: int, itemsize: int = 4) -> int:
-    """Scratch VMEM footprint of the layer-factory kernel per batch tile.
-
-    Mirrors the actual `scratch_shapes` lists in pallas_layer_thin_double
-    for whichever kernel (structured half-size expm vs dense) that config
-    takes, so the solver's auto-enable VMEM guard predicts the compiler's
-    scoped-vmem accounting exactly (the in/out pipeline windows overlap the
-    scratch allocation, so scratch rows alone track the reported usage)."""
+    """Scratch-only VMEM footprint of the layer-factory kernel per batch
+    tile (mirrors the `scratch_shapes` lists in pallas_layer_thin_double
+    for whichever kernel — structured half-size expm vs dense — that config
+    takes).  NOTE: this is NOT the compiler's scoped-vmem total; the
+    pipeline's double-buffered in/out windows add on top (round-2 lesson:
+    nd=12 scratch 13.75 MB compiled to 18.32 MB scoped vmem).  Use
+    factory_vmem_bytes for guard decisions."""
     N = 2 * nd + ndir
     common = 4 * nd * nd + 4 * nd * ndir + 2 * ndir * ndir + 1
     if nd >= 2 * ndir and nd >= 2:  # structured kernel (same predicate)
@@ -60,6 +60,52 @@ def factory_scratch_bytes(nd: int, ndir: int, itemsize: int = 4) -> int:
     else:
         rows = 4 * N * N + max(N * N, 3 * nd * ndir) + common
     return rows * SUBLANES * LANES * itemsize
+
+
+def factory_io_window_bytes(nd: int, ndir: int, with_int: bool = True,
+                            itemsize: int = 4) -> int:
+    """Upper bound on the pipeline in/out window VMEM of the factory kernel.
+
+    Each input/output BlockSpec window holds one batch tile of its rows,
+    and Mosaic double-buffers every window so the next grid step's DMA can
+    overlap compute: bytes = 2 * (sum of in rows + sum of out rows) tiles.
+    In rows: g0 (ndir^2) + g1 + g2 (nd^2 each) + g3 (nd*ndir) + dz (1).
+    Out rows: R + T (nd^2 each) + E (ndir^2) + Sup + Sdn (nd*ndir each),
+    plus int_diff (nd^2) + int_dir (ndir^2) + int_dir_diff (nd*ndir) when
+    with_int.  This bound is deliberately >= the compiler's accounting
+    (round 2 measured 18.32 MB actual at nd=12/with_int vs 13.75 MB scratch
+    + 7.31 MB windows = 21.06 MB bound)."""
+    in_rows = 2 * nd * nd + nd * ndir + ndir * ndir + 1
+    out_rows = 2 * nd * nd + ndir * ndir + 2 * nd * ndir
+    if with_int:
+        out_rows += nd * nd + ndir * ndir + nd * ndir
+    return 2 * (in_rows + out_rows) * SUBLANES * LANES * itemsize
+
+
+def factory_vmem_bytes(nd: int, ndir: int, with_int: bool = True,
+                       itemsize: int = 4) -> int:
+    """Conservative scoped-VMEM bound for the factory kernel: scratch plus
+    double-buffered pipeline windows.  The pallas_call requests this (plus
+    margin) as its Mosaic vmem_limit_bytes, so a config is runnable iff
+    this bound (with margin) fits the physical per-core VMEM."""
+    return (factory_scratch_bytes(nd, ndir, itemsize)
+            + factory_io_window_bytes(nd, ndir, with_int, itemsize))
+
+
+# Physical per-core VMEM on current TPUs (v4/v5e/v5p/v6e: 128 MiB).  The
+# kernel may request up to ~all of it via CompilerParams.vmem_limit_bytes;
+# we cap requests below the hardware size to leave headroom for XLA's own
+# co-scheduled buffers, and the solver's auto-enable guard refuses configs
+# whose bound exceeds the cap (falling back to the XLA factory).
+VMEM_HARDWARE_BYTES = 128 * 2**20
+VMEM_REQUEST_CAP = 100 * 2**20
+
+
+def _vmem_limit(nd: int, ndir: int, with_int: bool) -> int:
+    """Mosaic vmem_limit_bytes request: model bound + 25% mispredict
+    margin, never below the 16 MiB default, capped at VMEM_REQUEST_CAP."""
+    need = int(factory_vmem_bytes(nd, ndir, with_int) * 1.25)
+    return min(max(need, 16 * 2**20), VMEM_REQUEST_CAP)
 
 
 # ----------------------------------------------------------------------
@@ -843,6 +889,12 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
         out_specs=tuple(spec(rows) for rows in rows_list),
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
+        # Raise the Mosaic scoped-vmem limit above the 16 MiB default when
+        # the config needs it (nd=12 with_int needs ~18.3 MB measured);
+        # physical VMEM is 128 MiB so large-but-bounded requests are fine.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit(nd, ndir, with_int)
+        ),
         interpret=interpret,
     )(*args)
 

@@ -676,6 +676,14 @@ def _scr(rows, dtype):
     return pltpu.VMEM((rows, SUBLANES, LANES), dtype)
 
 
+# The up/down sweep kernels' double-buffered layer windows plus the
+# interface-stack window sum to ~13 MB at the largest auto-enabled config
+# ((nreg+1)*ns = 16) — uncomfortably near Mosaic's 16 MiB default scoped
+# vmem.  Request a higher ceiling outright (physical VMEM is 128 MiB); the
+# _use_pallas_sweeps size guard still bounds what configs reach here.
+_SWEEP_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 2**20)
+
+
 def sw_stack_rows(nd, ns, nreg):
     nd2 = (nreg + 1) * ns
     return 2 * nd * nd + nd * nreg + nd2 * nd2 + nd2 * (nreg + 1)
@@ -756,6 +764,7 @@ def sw_up_sweep(R, T, E, Sup, Sdn, uov, vov, ralb, ralbd, grd, *,
             _scr(nd * nd, dtype), _scr(nd * mtot, dtype),
             _scr(nd * nd, dtype), _scr(nd * nreg, dtype), _scr(1, dtype),
         ],
+        compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
         _tiles_l(R), _tiles_l(T), _tiles_l(E), _tiles_l(Sup), _tiles_l(Sdn),
@@ -813,6 +822,7 @@ def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
             _scr(nd, dtype), _scr(nd, dtype), _scr(nreg, dtype),
             _scr(1, dtype),
         ],
+        compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
         _tiles_l(R), _tiles_l(T), _tiles_l(E), _tiles_l(Sdn),
@@ -860,6 +870,7 @@ def lw_up_sweep(R, T, p, uov, vov, reps, remit, exposed, grd, *,
             _scr(nd * nd, dtype), _scr(nd * mtot, dtype),
             _scr(nd * nd, dtype), _scr(nd, dtype), _scr(1, dtype),
         ],
+        compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
         _tiles_l(R), _tiles_l(T), _tiles_l(p),
@@ -913,6 +924,7 @@ def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
             _scr(nd, dtype), _scr(nd, dtype), _scr(nd, dtype),
             _scr(nd, dtype), _scr(1, dtype),
         ],
+        compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
         _tiles_l(R), _tiles_l(T), _tiles_l(p),

@@ -17,6 +17,12 @@ import numpy as np
 import pytest
 from scipy.io import netcdf_file
 
+# Slow tier: these spawn the full CLI driver end-to-end (multi-minute on
+# CPU).  Their unique *physics* coverage (consistency, conservation,
+# noscat, empty-layer metamorphics) is duplicated at unit level by the
+# pyref-parity and conservation suites, which stay in the fast tier.
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference/test"
 
 
