@@ -96,15 +96,23 @@ def _make_run_n(opt, lg, spartacus_sw, spartacus_lw):
 
 
 def _max_rel_err(a, b):
+    """Worst per-FIELD scale-normalized error: max|x-y| / max(1, field
+    scale).  Per-element relative error is not meaningful here: several
+    outputs (veg_abs, wall_net) are small residuals of ~1e3-scale
+    intermediate cancellations (absorption = integrated flux - emission,
+    radsurf_urban_lw.F90:780-828), where f32 rounding alone injects
+    ~scale*eps ~ 1e-4 absolute noise on near-zero elements.  Normalizing
+    by the field's own magnitude (fluxes are per-unit-TOC, so O(1)..O(1e2))
+    measures what matters: no output field deviates beyond f32 rounding of
+    the quantities it was computed from."""
     import jax
 
     worst = 0.0
     for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
         x = np.asarray(x, np.float64)
         y = np.asarray(y, np.float64)
-        scale = np.maximum(np.abs(x), np.abs(y))
-        err = np.abs(x - y) / np.maximum(scale, 1e-3)
-        worst = max(worst, float(err.max()))
+        scale = max(1.0, float(np.abs(x).max()), float(np.abs(y).max()))
+        worst = max(worst, float(np.abs(x - y).max()) / scale)
     return worst
 
 

@@ -70,6 +70,21 @@ def build_argparser():
             "emulated and slow; prefer --precision=single there."
         ),
     )
+    p.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="jax.distributed coordinator address for multi-process runs"
+             " (the process-level analogue of the reference's OpenMP"
+             " do_parallel; each process solves its own contiguous column"
+             " slice and writes OUTPUT.pNN)",
+    )
+    p.add_argument(
+        "--num-processes", type=int, default=None, metavar="N",
+        help="Total process count for --coordinator runs",
+    )
+    p.add_argument(
+        "--process-id", type=int, default=None, metavar="I",
+        help="This process's rank (0-based) for --coordinator runs",
+    )
     return p
 
 
@@ -82,6 +97,18 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.precision == "double":
         jax.config.update("jax_enable_x64", True)
+
+    # Multi-process bootstrap (must precede any backend use).  Explicit
+    # flags take precedence; otherwise fall back to cluster env
+    # auto-detection inside jax.distributed (SLURM and friends).
+    if args.num_processes is not None and args.num_processes > 1:
+        from ..parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     import numpy as np
 

@@ -127,18 +127,30 @@ def layer_matrices(
     ndir = gamma0.shape[-1]
     dz = jnp.asarray(dz, dtype=gamma1.dtype)
 
-    scale = (dz * (2.0 ** -n_double))[..., None, None]
-    z_dirdiff = jnp.zeros_like(gamma3)
     z_dir = jnp.zeros(gamma0.shape[:-2] + (ndir, 2 * nd), dtype=gamma1.dtype)
-    g = jnp.concatenate(
+    g_dz = jnp.concatenate(
         [
             jnp.concatenate([-gamma1, -gamma2, -gamma3], axis=-1),
             jnp.concatenate([gamma2, gamma1, gamma3], axis=-1),
             jnp.concatenate([z_dir, gamma0], axis=-1),
         ],
         axis=-2,
-    ) * scale
-    del z_dirdiff
+    ) * dz[..., None, None]
+
+    # Norm-adaptive scaling, per batch element (same policy as the Pallas
+    # kernel): K = ceil(log2(||Gamma dz||_inf / theta)) clipped to
+    # [0, n_double].  A fixed K = n_double (the pre-round-3 behaviour)
+    # over-scales thin layers and the extra doublings amplify f32 rounding
+    # ~40x (measured: T/E error 6.9e-4 fixed vs 1.6e-5 adaptive against an
+    # f64 oracle on RAMI-like gammas); adaptive scaling is both the more
+    # accurate and the cheaper choice.  theta = 2 keeps the Pade-7
+    # truncation error ~2e-11, far below f32 rounding.
+    theta = 2.0
+    nrm = jnp.max(jnp.sum(jnp.abs(g_dz), axis=-1), axis=-1)
+    n_k = jnp.clip(
+        jnp.ceil(jnp.log2(jnp.maximum(nrm, 1e-30) / theta)), 0, n_double
+    )
+    g = g_dz * jnp.exp2(-n_k)[..., None, None]
 
     f = expm_pade7(g)
     f11 = f[..., :nd, :nd]
@@ -159,8 +171,17 @@ def layer_matrices(
         "Sup": -x2,
         "Sdn": f23 - matmul(f21, x2),
     }
-    for _ in range(n_double):
-        lay = combine_layers(lay, lay)
+
+    # Per-element doubling count: n_double steps with a masked commit
+    # (j >= K leaves the element unchanged).  The bound stays static so the
+    # loop lowers to a scan and remains reverse-mode differentiable (this
+    # path is the custom_vjp backward for the Pallas kernels).
+    def _dbl(j, lay_j):
+        new = combine_layers(lay_j, lay_j)
+        m = (j < n_k)[..., None, None]
+        return {key: jnp.where(m, new[key], lay_j[key]) for key in lay_j}
+
+    lay = jax.lax.fori_loop(0, n_double, _dbl, lay)
 
     if with_int:
         # Block-Schur inverse of the unscaled Gamma

@@ -299,19 +299,20 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
             g0_ref[pl.ds(i * ndir, ndir)] * scale_val
         )
 
-    # ---- norm-adaptive scaling: K from the tile-max row-sum norm
+    # ---- norm-adaptive scaling: PER-ELEMENT K from the row-sum norm
+    # (matches the XLA path's policy exactly, so the two paths apply the
+    # same doubling count per element and agree to plain f32 rounding)
     theta = 2.0
     nrm = jnp.zeros_like(G[0])
     for i in range(N):
         nrm = jnp.maximum(
             nrm, jnp.sum(jnp.abs(G[pl.ds(i * N, N)]), axis=0)
         )
-    nmax = jnp.max(nrm)
     n_K = jnp.clip(
-        jnp.ceil(jnp.log2(jnp.maximum(nmax, 1e-30) / theta)),
+        jnp.ceil(jnp.log2(jnp.maximum(nrm, 1e-30) / theta)),
         0, n_double,
-    ).astype(jnp.int32)
-    fac = jnp.exp2(-n_K.astype(nmax.dtype))
+    ).astype(jnp.int32)  # [8, 128]
+    fac = jnp.exp2(-n_K.astype(nrm.dtype))
 
     G[pl.ds(0, N * N)] = G[pl.ds(0, N * N)] * fac
 
@@ -347,8 +348,11 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
 def _extract_double(nd, ndir, n_K, F, W1, W2, W3, RT, SS, EE, rec,
                     r_out, t_out, e_out, sup_out, sdn_out):
     """Thin-layer extraction from F = expm(Gamma*s) (stored in the
-    N = 2*nd + ndir row-major layout) + n_K adding-doubling steps +
-    output writes.  Workspace: W1 >= nd^2, W2 >= nd*(nd+ndir),
+    N = 2*nd + ndir row-major layout) + adding-doubling steps + output
+    writes.  n_K is the PER-ELEMENT doubling count [8, 128] i32; the loop
+    runs to the tile max and each step's commit is masked to step < n_K,
+    so every batch element gets exactly its own K (identical policy to
+    the XLA path).  Workspace: W1 >= nd^2, W2 >= nd*(nd+ndir),
     W3 >= 3*nd*ndir rows; F's first nd^2 rows are reused as a temp
     during doubling."""
     N = 2 * nd + ndir
@@ -391,7 +395,8 @@ def _extract_double(nd, ndir, n_K, F, W1, W2, W3, RT, SS, EE, rec,
     off_supe = 3 * nd * ndir
     off_e2 = ndir * ndir
 
-    def _dbl_step(_step, _):
+    def _dbl_step(step, _):
+        m = step < n_K  # [8, 128] per-element commit mask
         # SupE = Sup @ E ; S_mid = Sdn + R @ SupE
         for i in range(nd):
             acc = SS[i * ndir] * EE[pl.ds(0, ndir)]
@@ -456,15 +461,26 @@ def _extract_double(nd, ndir, n_K, F, W1, W2, W3, RT, SS, EE, rec,
                 acc = acc + EE[i * ndir + k] * EE[pl.ds(k * ndir, ndir)]
             EE[pl.ds(off_e2 + i * ndir, ndir)] = acc
 
-        # commit
-        RT[pl.ds(0, nd * nd)] = W1[pl.ds(0, nd * nd)]
-        RT[pl.ds(off_t, nd * nd)] = F[pl.ds(0, nd * nd)]
-        SS[pl.ds(0, nd * ndir)] = W3[pl.ds(nd * ndir, nd * ndir)]
-        SS[pl.ds(off_sdn, nd * ndir)] = W3[pl.ds(2 * nd * ndir, nd * ndir)]
-        EE[pl.ds(0, ndir * ndir)] = EE[pl.ds(off_e2, ndir * ndir)]
+        # commit (masked per element: only where this step is < its K)
+        RT[pl.ds(0, nd * nd)] = jnp.where(
+            m, W1[pl.ds(0, nd * nd)], RT[pl.ds(0, nd * nd)]
+        )
+        RT[pl.ds(off_t, nd * nd)] = jnp.where(
+            m, F[pl.ds(0, nd * nd)], RT[pl.ds(off_t, nd * nd)]
+        )
+        SS[pl.ds(0, nd * ndir)] = jnp.where(
+            m, W3[pl.ds(nd * ndir, nd * ndir)], SS[pl.ds(0, nd * ndir)]
+        )
+        SS[pl.ds(off_sdn, nd * ndir)] = jnp.where(
+            m, W3[pl.ds(2 * nd * ndir, nd * ndir)],
+            SS[pl.ds(off_sdn, nd * ndir)],
+        )
+        EE[pl.ds(0, ndir * ndir)] = jnp.where(
+            m, EE[pl.ds(off_e2, ndir * ndir)], EE[pl.ds(0, ndir * ndir)]
+        )
         return 0
 
-    jax.lax.fori_loop(0, n_K, _dbl_step, 0)
+    jax.lax.fori_loop(0, jnp.max(n_K), _dbl_step, 0)
 
     # ---- write outputs
     _copy(r_out, RT, nd * nd)
@@ -541,28 +557,29 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
     for i in range(ndir):
         DSM[pl.ds(d_d + i * ndir, ndir)] = g0_ref[pl.ds(i * ndir, ndir)] * s
 
-    # ---- norm-adaptive scaling on the transformed matrix
+    # ---- norm-adaptive scaling, PER ELEMENT.  The norm is the row-sum
+    # infinity norm of the UNTRANSFORMED dense Gamma*dz (|g1|+|g2|+|g3|
+    # rows; |g0| rows) — the exact formula the XLA path and the dense
+    # kernel use — so all three paths pick the same K per element and
+    # agree to plain f32 rounding.
     theta = 2.0
     nrm = jnp.zeros_like(rec[0])
     for i in range(nd):
         nrm = jnp.maximum(
-            nrm, jnp.sum(jnp.abs(AS[pl.ds(o_bm + i * nd, nd)]), axis=0)
-        )
-        nrm = jnp.maximum(
             nrm,
-            jnp.sum(jnp.abs(AS[pl.ds(o_cm + i * nd, nd)]), axis=0)
-            + jnp.sum(jnp.abs(AS[pl.ds(o_b + i * ndir, ndir)]), axis=0),
+            (jnp.sum(jnp.abs(g1_ref[pl.ds(i * nd, nd)]), axis=0)
+             + jnp.sum(jnp.abs(g2_ref[pl.ds(i * nd, nd)]), axis=0)
+             + jnp.sum(jnp.abs(g3_ref[pl.ds(i * ndir, ndir)]), axis=0)) * s,
         )
     for i in range(ndir):
         nrm = jnp.maximum(
-            nrm, jnp.sum(jnp.abs(DSM[pl.ds(d_d + i * ndir, ndir)]), axis=0)
+            nrm, jnp.sum(jnp.abs(g0_ref[pl.ds(i * ndir, ndir)]), axis=0) * s
         )
-    nmax = jnp.max(nrm)
     n_K = jnp.clip(
-        jnp.ceil(jnp.log2(jnp.maximum(nmax, 1e-30) / theta)),
+        jnp.ceil(jnp.log2(jnp.maximum(nrm, 1e-30) / theta)),
         0, n_double,
-    ).astype(jnp.int32)
-    fac = jnp.exp2(-n_K.astype(nmax.dtype))
+    ).astype(jnp.int32)  # [8, 128]
+    fac = jnp.exp2(-n_K.astype(nrm.dtype))
     AS[pl.ds(0, 2 * n2 + nr)] = AS[pl.ds(0, 2 * n2 + nr)] * fac
     DSM[pl.ds(d_d, ndir * ndir)] = DSM[pl.ds(d_d, ndir * ndir)] * fac
 
