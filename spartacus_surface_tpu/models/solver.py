@@ -61,6 +61,19 @@ from .geometry import (
 # index of vectors/matrices whose combined index is (region, stream).
 # ----------------------------------------------------------------------
 
+def _safe_div(num, den):
+    """num / den with 0 where the denominator has underflowed to ~0.
+
+    Used for the clear-sky-normalized sunlit fractions: at horizon sun
+    through a thick canopy the clear direct beam extinguishes completely
+    (exp(-od) underflows), and the reference's unguarded division would
+    FPE-trap (-ffpe-trap=invalid, Makefile_include.gfortran:14); here the
+    physically-correct limit is "nothing is sunlit" = 0."""
+    tiny = jnp.asarray(np.finfo(jnp.result_type(den)).tiny, den.dtype)
+    ok = den > tiny
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
+
 def _ov_vec(ov, x, ns):
     """[C, A, B] region-overlap applied to [C, S, B*ns] -> [C, S, A*ns]."""
     c, s, _ = x.shape
@@ -164,7 +177,15 @@ class SolverOptions:
     vegetation_isolation_factor: float = 0.0
     min_vegetation_fraction: float = 1.0e-6
     min_building_fraction: float = 1.0e-6
-    n_double: int = 12
+    # Doubling-step CAP for the norm-adaptive expm factory: handles
+    # per-layer ||Gamma dz|| up to 2*2**n_double.  30 covers the most
+    # extreme attainable system — horizon sun (cos_sza clamped at 1e-6)
+    # injects tan(theta) ~ 1e6 wall/direct terms, and ext*dz ~ 1e3 —
+    # whose norm is ~1e9; a smaller cap silently truncates the Pade
+    # argument and the layer operators come out wrong (found by the
+    # property fuzzer: top_albedo 5.5e4 at cap 12).  Adaptive K means
+    # typical layers still take only their ceil(log2(norm/2)) steps.
+    n_double: int = 30
     # Column-chunk size for the per-layer operator factory: bounds the
     # transient HBM footprint of the expm working set (XLA pads the
     # trailing small-matrix dims to (8,128) tiles, a ~10x expansion, so
@@ -597,10 +618,10 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
                 roof_in_dir_t = jnp.take_along_axis(
                     roof_in_dir, itr[:, None], axis=-1
                 )[..., 0]
-                out["roof_sunlit_frac"] = (
-                    roof_in_dir_t * nbfa
-                    / (zcos * dn_dir_clear
-                       * jnp.maximum(opt.min_building_fraction, rfrac))
+                out["roof_sunlit_frac"] = _safe_div(
+                    roof_in_dir_t * nbfa,
+                    zcos * dn_dir_clear
+                    * jnp.maximum(opt.min_building_fraction, rfrac),
                 )
                 dn_dir_clear = dn_dir_clear * nbf_l / nbfa
                 int_dir_clear = jnp.where(
@@ -617,8 +638,16 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
                     vad_t = jnp.take_along_axis(
                         out["veg_abs_dir"], itr[:, None], axis=-1
                     )[..., 0]
-                    out["veg_sunlit_frac"] = vad_t / jnp.maximum(
-                        eps, veg_abs_dir_clear
+                    # Degenerate-region excision parity: below the
+                    # min fraction the reference removes the veg region
+                    # from the system entirely, so nothing is absorbed in
+                    # it and its sunlit fraction is exactly 0
+                    # (radsurf_urban_sw.F90 region handling); the masked
+                    # dense path would otherwise return tiny/tiny ~ 1.
+                    out["veg_sunlit_frac"] = jnp.where(
+                        vfr >= opt.min_vegetation_fraction,
+                        vad_t / jnp.maximum(eps, veg_abs_dir_clear),
+                        0.0,
                     )
                 if opt.do_urban:
                     wid_t = jnp.take_along_axis(
@@ -690,7 +719,9 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
         if with_direct:
             outs["ground_dn_dir"] = ground_dn_dir
             gdd_t = jnp.take_along_axis(ground_dn_dir, itr[:, None], -1)[..., 0]
-            outs["ground_sunlit_frac"] = gdd_t / (zcos * dn_dir_clear_fin)
+            outs["ground_sunlit_frac"] = _safe_div(
+                gdd_t, zcos * dn_dir_clear_fin
+            )
             outs["top_dn_dir"] = jnp.ones((C, S), dtype)
             outs["top_dn"] = jnp.ones((C, S), dtype)
             outs["top_net"] = 1.0 - top_albedo_dir
@@ -961,20 +992,28 @@ def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         if with_direct:
             outs["ground_dn_dir"] = ground_dn_dir
             gdd_t = _take_spec(ground_dn_dir, itr)
-            outs["ground_sunlit_frac"] = gdd_t / (zcos * dn_dir_clear_fin)
-            outs["roof_sunlit_frac"] = (
-                _take_spec(outs["roof_in_dir"], itr) * nbf_above
-                / (zcos[:, None] * c_in
-                   * jnp.maximum(opt.min_building_fraction, roof_fraction))
+            outs["ground_sunlit_frac"] = _safe_div(
+                gdd_t, zcos * dn_dir_clear_fin
+            )
+            outs["roof_sunlit_frac"] = _safe_div(
+                _take_spec(outs["roof_in_dir"], itr) * nbf_above,
+                zcos[:, None] * c_in
+                * jnp.maximum(opt.min_building_fraction, roof_fraction),
             )
             if nreg > 1:
                 vb_t = _take_spec(veg_abs_coef, itr)
                 veg_abs_dir_clear = (
                     int_dir_clear * vb_t * inp.veg_fraction
                 )
-                outs["veg_sunlit_frac"] = _take_spec(
-                    outs["veg_abs_dir"], itr
-                ) / jnp.maximum(eps, veg_abs_dir_clear)
+                # Degenerate-region excision parity (see the scan path):
+                # below min fraction the sunlit fraction is exactly 0.
+                outs["veg_sunlit_frac"] = jnp.where(
+                    inp.veg_fraction >= opt.min_vegetation_fraction,
+                    _take_spec(
+                        outs["veg_abs_dir"], itr
+                    ) / jnp.maximum(eps, veg_abs_dir_clear),
+                    0.0,
+                )
             if opt.do_urban:
                 outs["wall_sunlit_frac"] = 0.5 * _take_spec(
                     outs["wall_in_dir"], itr

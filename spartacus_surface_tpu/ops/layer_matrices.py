@@ -99,7 +99,7 @@ def layer_matrices(
     gamma3,
     dz,
     *,
-    n_double: int = 12,
+    n_double: int = 30,
     with_int: bool = True,
     int_direct: bool = True,
 ) -> dict:
@@ -199,7 +199,7 @@ def layer_matrices(
 
 
 @functools.partial(jax.jit, static_argnames=("n_double",))
-def lw_layer_matrices(gamma1, gamma2, emiss_rate, dz, *, n_double: int = 12) -> dict:
+def lw_layer_matrices(gamma1, gamma2, emiss_rate, dz, *, n_double: int = 30) -> dict:
     """Longwave wrapper: emission as a unit pseudo-beam.
 
     Args:

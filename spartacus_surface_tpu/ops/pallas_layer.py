@@ -784,7 +784,7 @@ def _solve_off_rows(a, ab, rhs, rb, n, m, rec):
                      "int_direct"),
 )
 def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
-                             nd: int, ndir: int, n_double: int = 12,
+                             nd: int, ndir: int, n_double: int = 30,
                              interpret: bool = False, with_int: bool = False,
                              int_direct: bool = True):
     """R/T/E/Sup/Sdn (+ optional Schur integral matrices) via the Pallas
@@ -919,7 +919,7 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
 
 
 def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,
-                          n_double: int = 12, with_int: bool = True,
+                          n_double: int = 30, with_int: bool = True,
                           int_direct: bool = True,
                           interpret: bool | None = None):
     """Drop-in replacement for ops.layer_matrices.layer_matrices, fully
@@ -974,7 +974,7 @@ def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,
 
 
 def pallas_lw_layer_matrices(gamma1, gamma2, emiss_rate, dz, *,
-                             n_double: int = 12, interpret: bool | None = None):
+                             n_double: int = 30, interpret: bool | None = None):
     """Drop-in replacement for ops.layer_matrices.lw_layer_matrices: the
     emission pseudo-beam (ndir=1, gamma0=0, gamma3=b) runs through the
     Pallas factory, including the in-kernel int_diff (the direct-beam

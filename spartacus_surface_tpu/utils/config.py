@@ -56,11 +56,13 @@ class Config:
     lg_lw_forest: object = field(default=None, repr=False)
     lg_lw_urban: object = field(default=None, repr=False)
 
-    # Number of layer-doubling steps used by the matrix-exponential layer
-    # kernel (TPU-native replacement for the reference's eigen-decomposition;
-    # no reference equivalent). 2**n_double bounds the per-layer diffuse
-    # optical thickness handled at full accuracy.
-    n_double: int = 12
+    # Doubling-step CAP for the matrix-exponential layer kernel
+    # (TPU-native replacement for the reference's eigen-decomposition;
+    # no reference equivalent).  The factory picks K per element from
+    # the Gamma norm; 2*2**n_double bounds the per-layer optical
+    # thickness handled at full accuracy (30 covers horizon-sun wall
+    # terms, ~1e9).
+    n_double: int = 30
 
     # Solve in column chunks of this size (0 = whole batch at once): the
     # TPU-native generalization of the reference driver's `nblocksize`

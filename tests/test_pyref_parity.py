@@ -47,11 +47,14 @@ def _load(config_path, input_path, cfg_updates=None, dc_updates=None,
     return config, arrays
 
 
-def _assert_parity(config, arrays, rtol=RTOL, atol=ATOL):
+def _assert_parity(config, arrays, rtol=RTOL, atol=ATOL, rtol_fields=None):
+    """Compare every output field; rtol_fields grants a per-FIELD override
+    where route divergence is measured to need it (see the rami5 table)."""
     oracle = pyref_radsurf(config, arrays)
     got = run_radsurf(config, arrays)
     cols = np.isin(np.asarray(arrays["i_representation"]), PYREF_TILES)
     assert cols.any(), "no SPARTACUS-tile columns in this case"
+    rtol_fields = rtol_fields or {}
     checked = 0
     for cname in ("sw_norm_dir", "sw_norm_diff", "lw_internal", "lw_norm"):
         if cname not in oracle:
@@ -60,7 +63,7 @@ def _assert_parity(config, arrays, rtol=RTOL, atol=ATOL):
             want = oracle[cname][key][cols]
             have = np.asarray(got[cname][key])[cols]
             np.testing.assert_allclose(
-                have, want, rtol=rtol, atol=atol,
+                have, want, rtol=rtol_fields.get(key, rtol), atol=atol,
                 err_msg=f"{cname}.{key}",
             )
             checked += 1
@@ -68,7 +71,8 @@ def _assert_parity(config, arrays, rtol=RTOL, atol=ATOL):
         np.testing.assert_allclose(
             np.asarray(got["bc_out"][key])[cols],
             oracle["bc_out"][key][cols],
-            rtol=rtol, atol=atol, err_msg=f"bc_out.{key}",
+            rtol=rtol_fields.get(key, rtol), atol=atol,
+            err_msg=f"bc_out.{key}",
         )
         checked += 1
     assert checked >= 20
@@ -129,23 +133,44 @@ def test_rami4pilps_sza(sza):
 RAMI5_SCENES = ("HET07_JPS_SUM", "HET08_OPS_WIN", "HET09_JBS_SUM",
                 "HET14_WCO_UND", "HET15_JBS_WIN")
 
+# Per-field tolerances for the rami5 suite, derived from the measured
+# worst relative error (over elements with |oracle| > 1e-6) across ALL
+# FIVE scenes — eigen-route (pyref) vs expm+doubling (production) in f64
+# over 62 layers.  Default is the global RTOL = 1e-5; route-divergence
+# slack is granted only where the doubling-vs-eigen difference actually
+# lives, each with ~2x headroom over its observed error:
+#   field                observed     granted
+#   wall_in / wall_net    8.6e-5       2e-4
+#   veg_abs               6.4e-5       1.5e-4
+#   flux_up_layer_*       2.8e-5       6e-5
+#   sw_albedo_dir         2.8e-5       6e-5
+# Worst ABSOLUTE error anywhere: 1.6e-7 (atol=1e-6 covers near-zero
+# elements).  Regenerate the table with the script in this docstring's
+# history: run pyref vs run_radsurf per scene and print per-field maxima.
+RAMI5_RTOL_FIELDS = {
+    "wall_in": 2e-4,
+    "wall_net": 2e-4,
+    "veg_abs": 1.5e-4,
+    "flux_up_layer_top": 6e-5,
+    "flux_up_layer_base": 6e-5,
+    "sw_albedo_dir": 6e-5,
+}
+
 
 @pytest.mark.parametrize("scene", RAMI5_SCENES)
 def test_rami5_scene(scene):
     """All five RAMI-V scenes: 62 layers, 14 bands, trees-as-urban with
-    nreg = 3 and 4 streams (test/rami5/config.nam).
-
-    Tolerance is wider than the other suites: over 62 layers with extreme
-    per-layer optical depths, the oracle's eigen route and the production
-    doubling route accumulate O(1e-4) relative differences on near-zero
-    fields (worst observed 9e-5 on ~2e-3-magnitude absorption entries).
-    """
+    nreg = 3 and 4 streams (test/rami5/config.nam).  Most fields must agree
+    with the oracle to the global 1e-5; the handful of fields where the
+    eigen-vs-doubling route divergence accumulates get documented
+    exceptions (RAMI5_RTOL_FIELDS, with the observed errors)."""
     config, arrays = _load(
         f"{REF}/rami5/config.nam",
         f"{REF}/rami5/scene_nc/rami5_{scene}_scene.nc",
         dc_updates=dict(cos_sza_override=np.cos(np.deg2rad(40.0))),
     )
-    _assert_parity(config, arrays, rtol=5e-4, atol=1e-6)
+    _assert_parity(config, arrays, rtol=RTOL, atol=1e-6,
+                   rtol_fields=RAMI5_RTOL_FIELDS)
 
 
 def test_lw_reference_int_form_leak_is_bounded():
@@ -205,6 +230,43 @@ def test_lw_reference_int_form_leak_is_bounded():
     scale = np.max(np.abs(int_c["wall_in"]))
     assert dev > 1e-8 * scale          # the forms genuinely differ...
     assert dev < 5e-3 * scale          # ...by no more than the known leak
+
+
+def test_pyref_reproduces_doc_worked_example():
+    """Pin the pyref oracle itself to the one external absolute anchor:
+    the unvegetated-urban column of the documentation's worked example
+    (doc/spartacus_surface_documentation.tex:955-979; column 3 of
+    test/simple/test_surfaces_in.nc, TOC direct 400 / diffuse 100 W m-2).
+    The production path already passes this via test_doc_worked_example;
+    asserting pyref against the same printed digits closes the
+    same-author loop as far as this environment allows (both routes must
+    independently hit the Fortran run's numbers)."""
+    config, arrays = _load(f"{REF}/simple/config.nam",
+                           f"{REF}/simple/test_surfaces_in.nc")
+    oracle = pyref_radsurf(config, arrays)
+    col = 2  # the unvegetated-urban column
+
+    def budget(container):
+        o = oracle[container]
+        return dict(
+            ground_net=float(o["ground_net"][col].sum()),
+            wall_net=float(o["wall_net"][col].sum()),
+            roof_net=float(o["roof_net"][col].sum()),
+            top_net=float(o["top_net"][col].sum()),
+        )
+
+    # Doc table values (W m-2), normalized by their TOC flux
+    doc_dir = dict(ground_net=51.015 / 400, wall_net=185.652 / 400,
+                   roof_net=119.081 / 400, top_net=355.748 / 400)
+    doc_diff = dict(ground_net=20.203 / 100, wall_net=37.465 / 100,
+                    roof_net=30.846 / 100, top_net=88.514 / 100)
+    got_dir = budget("sw_norm_dir")
+    got_diff = budget("sw_norm_diff")
+    for key in doc_dir:
+        np.testing.assert_allclose(got_dir[key], doc_dir[key], rtol=5e-5,
+                                   err_msg=f"dir {key}")
+        np.testing.assert_allclose(got_diff[key], doc_diff[key], rtol=5e-5,
+                                   err_msg=f"diff {key}")
 
 
 def test_single_layer_spartacus():
