@@ -362,10 +362,53 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
     )
     dz_b = jnp.broadcast_to(inp.dz[:, :, None], (C, L, S))
     g0 = jnp.broadcast_to(g0, (C, L, S, nreg, nreg))
+    use_pf = _use_pallas(opt)
+    use_ps = _use_pallas_sweeps(opt, lg)
+
+    if use_pf and use_ps:
+        # Fused tile-native path: gammas are relaid out ONCE into the
+        # kernel tile layout; factory outputs flow to the sweep kernels as
+        # raw [nb, L, rows, 8, 128] tiles with zero intermediate copies
+        # (ROADMAP item 1: the former untile -> transpose -> retile glue).
+        from ..ops.pallas_layer import TILE, pallas_layer_tiles
+
+        B = C * S
+        pad = (-B) % TILE
+        dtype = g1.dtype
+
+        def gbl(x, n, m):
+            flat = _flat(x).transpose(0, 2, 1, 3).reshape(B, L, n * m)
+            if pad:
+                eye = jnp.broadcast_to(
+                    (-jnp.eye(n, m, dtype=dtype)).reshape(1, 1, n * m),
+                    (pad, L, n * m),
+                )
+                flat = jnp.concatenate([flat, eye], axis=0)
+            return flat
+
+        dz_bl = jnp.broadcast_to(
+            inp.dz[:, None, :], (C, S, L)
+        ).reshape(B, L)
+        if pad:
+            dz_bl = jnp.concatenate(
+                [dz_bl, jnp.zeros((pad, L), dtype)], axis=0
+            )
+        chunk_nb = (
+            max(1, opt.factory_chunk // TILE) if opt.factory_chunk else 0
+        )
+        lay = pallas_layer_tiles(
+            gbl(g0, nreg, nreg), gbl(g1, nd, nd), gbl(g2, nd, nd),
+            gbl(g3, nd, nreg), dz_bl,
+            nd=nd, ndir=nreg, n_double=opt.n_double, chunk_nb=chunk_nb,
+        )
+        return _sw_pallas_path(
+            inp, opt, lg, geo, lay, zcos, sin0, with_profiles, tiled=True
+        )
+
     # lay entries come back with the matrix dims FLATTENED ([C,L,S,n*m]):
     # storage/bandwidth-optimal on TPU; unflattened views are taken per
     # scan step.
-    if _use_pallas(opt):
+    if use_pf:
         from ..ops.pallas_layer import pallas_layer_matrices
 
         factory = lambda a: pallas_layer_matrices(*a, n_double=opt.n_double)
@@ -374,7 +417,7 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
     lay = _chunked_factory(factory, (g0, g1, g2, g3, dz_b),
                            opt.factory_chunk)
 
-    if _use_pallas_sweeps(opt, lg):
+    if use_ps:
         return _sw_pallas_path(
             inp, opt, lg, geo, lay, zcos, sin0, with_profiles
         )
@@ -830,7 +873,7 @@ def _chunked_factory(fn, args, chunk: int):
 # ----------------------------------------------------------------------
 
 def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
-                    geo, lay, zcos, sin0, with_profiles):
+                    geo, lay, zcos, sin0, with_profiles, tiled=False):
     from ..ops import pallas_sweep as PS
 
     nreg, ns = opt.nreg, lg.nstream
@@ -849,6 +892,10 @@ def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         """[C, L, S, rows] -> [B(+pad), L, rows]."""
         x = x.transpose(0, 2, 1, 3).reshape(B, L, x.shape[-1])
         return PS._pad_b(x, pad)
+
+    # tiled: lay entries are already raw kernel tiles [nb, L, rows, 8, 128]
+    # from pallas_layer_tiles — hand them to the sweeps unchanged.
+    lt = (lambda x: x) if tiled else bl
 
     def bls(x):
         """[C, L, S] -> [B(+pad), L, 1]."""
@@ -878,9 +925,9 @@ def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     vov = blc(_flat(geo["v_ov"]))
 
     stacks, top = PS.sw_up_sweep(
-        bl(lay["R"]), bl(lay["T"]), bl(lay["E"]), bl(lay["Sup"]),
-        bl(lay["Sdn"]), uov, vov, bls(roof_alb), bls(roof_alb_dir), grd_up,
-        nd=nd, ns=ns, nreg=nreg, hw=hw, interpret=interp,
+        lt(lay["R"]), lt(lay["T"]), lt(lay["E"]), lt(lay["Sup"]),
+        lt(lay["Sdn"]), uov, vov, bls(roof_alb), bls(roof_alb_dir), grd_up,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, interpret=interp, tiled=tiled,
     )
     a_top = top[:B, : nd * nd].reshape(C, S, nd, nd)
     d_top = top[:B, nd * nd:].reshape(C, S, nd, nreg)
@@ -916,12 +963,12 @@ def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
 
     def run_sweep(with_direct):
         outs_bl, fin = PS.sw_down_sweep(
-            bl(lay["R"]), bl(lay["T"]), bl(lay["E"]), bl(lay["Sdn"]),
-            bl(lay["int_dir"]), bl(lay["int_diff"]), bl(lay["int_dir_diff"]),
+            lt(lay["R"]), lt(lay["T"]), lt(lay["E"]), lt(lay["Sdn"]),
+            lt(lay["int_dir"]), lt(lay["int_diff"]), lt(lay["int_dir_diff"]),
             stacks, vov, aux, grd_dn,
             nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
             with_direct=with_direct, do_urban=opt.do_urban,
-            with_profiles=with_profiles, interpret=interp,
+            with_profiles=with_profiles, interpret=interp, tiled=tiled,
         )
         outs = {
             k: v[:B].reshape(C, S, L).transpose(0, 2, 1)
@@ -1035,7 +1082,7 @@ def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
 def _lw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
                     geo, lay, wall_emissivity, roof_emissivity, roof_emission,
                     exposed_roof, emiss_reg, emiss_air, emiss_veg, emiss_wall,
-                    with_profiles):
+                    with_profiles, tiled=False):
     from ..ops import pallas_sweep as PS
 
     nreg, ns = opt.nreg, lg.nstream
@@ -1075,11 +1122,12 @@ def _lw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     uov = blc(_flat(geo["u_ov"]))
     vov = blc(_flat(geo["v_ov"]))
 
+    lt = (lambda x: x) if tiled else bl
     stacks, top = PS.lw_up_sweep(
-        bl(lay["R"]), bl(lay["T"]), bl(lay["p"]), uov, vov,
+        lt(lay["R"]), lt(lay["T"]), lt(lay["p"]), uov, vov,
         bls(roof_emissivity), bls(roof_emission),
         blc(exposed_roof[..., None]), grd_up,
-        nd=nd, ns=ns, nreg=nreg, hw=hw, interpret=interp,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, interpret=interp, tiled=tiled,
     )
     a_top = top[:B, : nd * nd].reshape(C, S, nd, nd)
     source_top = top[:B, nd * nd:].reshape(C, S, nd)
@@ -1118,12 +1166,12 @@ def _lw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
 
     def run_sweep(with_source):
         outs_bl, fin = PS.lw_down_sweep(
-            bl(lay["R"]), bl(lay["T"]), bl(lay["p"]),
-            bl(lay["int_diff"]), bl(lay["int_source"]),
+            lt(lay["R"]), lt(lay["T"]), lt(lay["p"]),
+            lt(lay["int_diff"]), lt(lay["int_source"]),
             stacks, vov, aux,
             nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
             with_source=with_source, do_urban=opt.do_urban,
-            with_profiles=with_profiles, interpret=interp,
+            with_profiles=with_profiles, interpret=interp, tiled=tiled,
         )
         outs = {
             k: v[:B].reshape(C, S, L).transpose(0, 2, 1)
@@ -1220,25 +1268,63 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
     )
     dz_b = jnp.broadcast_to(inp.dz[:, :, None], (C, L, S))
 
-    if _use_pallas(opt):
-        from ..ops.pallas_layer import pallas_lw_layer_matrices
+    use_pf = _use_pallas(opt)
+    use_ps = _use_pallas_sweeps(opt, lg)
+    lw_tiled = use_pf and use_ps
+    if lw_tiled:
+        # Fused tile-native path (see the SW twin above): one gamma
+        # relayout in, raw tiles out, zero factory->sweep copies.
+        from ..ops.pallas_layer import TILE, pallas_lw_layer_tiles
 
-        lw_factory_fn = pallas_lw_layer_matrices
+        B = C * S
+        pad = (-B) % TILE
+
+        def gbl(x, n, m):
+            flat = _flat(x).transpose(0, 2, 1, 3).reshape(B, L, n * m)
+            if pad:
+                eye = jnp.broadcast_to(
+                    (-jnp.eye(n, m, dtype=dtype)).reshape(1, 1, n * m),
+                    (pad, L, n * m),
+                )
+                flat = jnp.concatenate([flat, eye], axis=0)
+            return flat
+
+        dz_bl = jnp.broadcast_to(
+            inp.dz[:, None, :], (C, S, L)
+        ).reshape(B, L)
+        if pad:
+            dz_bl = jnp.concatenate(
+                [dz_bl, jnp.zeros((pad, L), dtype)], axis=0
+            )
+        chunk_nb = (
+            max(1, opt.factory_chunk // TILE) if opt.factory_chunk else 0
+        )
+        lay = pallas_lw_layer_tiles(
+            gbl(g1m, nd, nd), gbl(g2m, nd, nd),
+            gbl(em["emiss_rate"][..., None], nd, 1), dz_bl,
+            nd=nd, n_double=opt.n_double, chunk_nb=chunk_nb,
+        )
     else:
-        lw_factory_fn = lw_layer_matrices
+        if use_pf:
+            from ..ops.pallas_layer import pallas_lw_layer_matrices
 
-    def _lw_factory(a):
-        g1a, g2a, ema, dza = a
-        out = lw_factory_fn(g1a, g2a, ema, dza, n_double=opt.n_double)
-        # keep vector outputs unflattened; _chunked_factory flattens the
-        # trailing TWO dims, so lift vectors to [..., n, 1] first
-        out["p"] = out["p"][..., None]
-        out["int_source"] = out["int_source"][..., None]
-        return out
+            lw_factory_fn = pallas_lw_layer_matrices
+        else:
+            lw_factory_fn = lw_layer_matrices
 
-    lay = _chunked_factory(
-        _lw_factory, (g1m, g2m, em["emiss_rate"], dz_b), opt.factory_chunk
-    )
+        def _lw_factory(a):
+            g1a, g2a, ema, dza = a
+            out = lw_factory_fn(g1a, g2a, ema, dza, n_double=opt.n_double)
+            # keep vector outputs unflattened; _chunked_factory flattens the
+            # trailing TWO dims, so lift vectors to [..., n, 1] first
+            out["p"] = out["p"][..., None]
+            out["int_source"] = out["int_source"][..., None]
+            return out
+
+        lay = _chunked_factory(
+            _lw_factory, (g1m, g2m, em["emiss_rate"], dz_b),
+            opt.factory_chunk
+        )
 
     # Emission bookkeeping (radsurf_urban_lw.F90:446-477)
     emiss_factor = 2.0 * float(np.sum(hw / mu))
@@ -1289,11 +1375,11 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
     )
     exposed_roof = jnp.maximum(0.0, inp.building_fraction - bf_above)
 
-    if _use_pallas_sweeps(opt, lg):
+    if use_ps:
         return _lw_pallas_path(
             inp, opt, lg, geo, lay, wall_emissivity, roof_emissivity,
             roof_emission, exposed_roof, emiss_reg, emiss_air, emiss_veg,
-            emiss_wall, with_profiles,
+            emiss_wall, with_profiles, tiled=lw_tiled,
         )
 
     def up_step(carry, x):

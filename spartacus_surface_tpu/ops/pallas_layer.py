@@ -781,22 +781,31 @@ def _solve_off_rows(a, ab, rhs, rb, n, m, rec):
 @functools.partial(
     jax.jit,
     static_argnames=("nd", "ndir", "n_double", "interpret", "with_int",
-                     "int_direct"),
+                     "int_direct", "tiled_io"),
 )
 def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
                              nd: int, ndir: int, n_double: int = 30,
                              interpret: bool = False, with_int: bool = False,
-                             int_direct: bool = True):
+                             int_direct: bool = True, tiled_io: bool = False):
     """R/T/E/Sup/Sdn (+ optional Schur integral matrices) via the Pallas
     factory.
 
     Inputs flattened+batched: gamma1/gamma2 [B, nd*nd], gamma3 [B, nd*ndir],
     gamma0 [B, ndir*ndir], dz [B].  B must be a multiple of 1024.
     Returns dict of flattened outputs [B, n*m].
+
+    With tiled_io=True the inputs are already in kernel tile layout
+    [nb, rows, 8, 128] (dz as rows=1) and the outputs are returned as raw
+    tiles, skipping both relayouts — this is the zero-copy handoff used by
+    the fused factory->sweep path (solver._sw_pallas_path).
     """
-    B = gamma1.shape[0]
-    assert B % TILE == 0, f"batch {B} not a multiple of {TILE}"
-    nb = B // TILE
+    if tiled_io:
+        nb = gamma1.shape[0]
+        B = nb * TILE
+    else:
+        B = gamma1.shape[0]
+        assert B % TILE == 0, f"batch {B} not a multiple of {TILE}"
+        nb = B // TILE
     N = 2 * nd + ndir
     dtype = gamma1.dtype
 
@@ -811,13 +820,16 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
         # [nb, rows, 8, 128] -> [B, rows]
         return y.transpose(0, 2, 3, 1).reshape(B, rows)
 
-    args = (
-        resh(gamma0, ndir * ndir),
-        resh(gamma1, nd * nd),
-        resh(gamma2, nd * nd),
-        resh(gamma3, nd * ndir),
-        resh(dz[:, None], 1),
-    )
+    if tiled_io:
+        args = (gamma0, gamma1, gamma2, gamma3, dz)
+    else:
+        args = (
+            resh(gamma0, ndir * ndir),
+            resh(gamma1, nd * nd),
+            resh(gamma2, nd * nd),
+            resh(gamma3, nd * ndir),
+            resh(dz[:, None], 1),
+        )
 
     names = ["R", "T", "E", "Sup", "Sdn"]
     rows_list = [nd * nd, nd * nd, ndir * ndir, nd * ndir, nd * ndir]
@@ -915,7 +927,96 @@ def pallas_layer_thin_double(gamma0, gamma1, gamma2, gamma3, dz, *,
         interpret=interpret,
     )(*args)
 
+    if tiled_io:
+        return dict(zip(names, outs))
     return {k: unresh(v, r) for k, v, r in zip(names, outs, rows_list)}
+
+
+def _tiles_in(x):
+    """[Bp, L, rows] -> [nb*L, rows, 8, 128] in the layout whose output
+    reshape [nb, L, rows, 8, 128] is exactly the sweep kernels' tile
+    layout (pallas_sweep._tiles_l): intra-tile batch order (sublane, lane)
+    matches resh()'s reshape(nb, 8, 128, rows) convention."""
+    Bp, L, rows = x.shape
+    nb = Bp // TILE
+    return (
+        x.reshape(nb, SUBLANES, LANES, L, rows)
+        .transpose(0, 3, 4, 1, 2)
+        .reshape(nb * L, rows, SUBLANES, LANES)
+    )
+
+
+def pallas_layer_tiles(gamma0, gamma1, gamma2, gamma3, dz, *,
+                       nd: int, ndir: int, n_double: int = 30,
+                       with_int: bool = True, int_direct: bool = True,
+                       chunk_nb: int = 0, interpret: bool | None = None):
+    """Layer-factory in tile-native form for the fused factory->sweep path.
+
+    Inputs are flattened gammas ordered batch-major-then-layer:
+    gamma1/gamma2 [Bp, L, nd*nd], gamma3 [Bp, L, nd*ndir],
+    gamma0 [Bp, L, ndir*ndir], dz [Bp, L]; Bp must be a multiple of TILE
+    and already padded (identity layers: gamma=-I, dz=0).  Returns raw
+    tiles {name: [nb, L, rows, 8, 128]} directly consumable by the
+    pallas_sweep kernels with tiled=True — zero output-side relayout.
+
+    chunk_nb > 0 bounds the transient working set by lax.map-ing the
+    factory over groups of chunk_nb batch tiles (the tile-layout analogue
+    of SolverOptions.factory_chunk).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bp, L = dz.shape
+    nb = Bp // TILE
+
+    args = (
+        _tiles_in(gamma0), _tiles_in(gamma1), _tiles_in(gamma2),
+        _tiles_in(gamma3), _tiles_in(dz[..., None]),
+    )
+    run = functools.partial(
+        pallas_layer_thin_double, nd=nd, ndir=ndir, n_double=n_double,
+        interpret=interpret, with_int=with_int, int_direct=int_direct,
+        tiled_io=True,
+    )
+    if chunk_nb and nb > chunk_nb and nb % chunk_nb == 0:
+        nchunks = nb // chunk_nb
+        split = jax.tree_util.tree_map(
+            lambda x: x.reshape((nchunks, chunk_nb * L) + x.shape[1:]), args
+        )
+        out = jax.lax.map(lambda a: run(*a), split)
+        out = {k: v.reshape((nb * L,) + v.shape[2:]) for k, v in out.items()}
+    else:
+        out = run(*args)
+    return {
+        k: v.reshape((nb, L) + v.shape[1:]) for k, v in out.items()
+    }
+
+
+def pallas_lw_layer_tiles(gamma1, gamma2, emiss_rate, dz, *,
+                          nd: int, n_double: int = 30, chunk_nb: int = 0,
+                          interpret: bool | None = None):
+    """LW factory in tile-native form (emission pseudo-beam, cf.
+    pallas_lw_layer_matrices): gamma1/gamma2 [Bp, L, nd*nd], emiss_rate
+    [Bp, L, nd], dz [Bp, L].  Returns tiles for R/T [nd*nd rows],
+    p/int_source [nd rows], int_diff [nd*nd rows]; the p and int_source
+    post-processing runs directly on tiles (pure lane-wise arithmetic)."""
+    Bp, L = dz.shape
+    dtype = gamma1.dtype
+    gamma0 = jnp.zeros((Bp, L, 1), dtype)
+    lay = pallas_layer_tiles(
+        gamma0, gamma1, gamma2, emiss_rate, dz,
+        nd=nd, ndir=1, n_double=n_double, with_int=True, int_direct=False,
+        chunk_nb=chunk_nb, interpret=interpret,
+    )
+    nb = Bp // TILE
+    er_t = _tiles_in(emiss_rate).reshape(nb, L, nd, SUBLANES, LANES)
+    dz_t = _tiles_in(dz[..., None]).reshape(nb, L, 1, SUBLANES, LANES)
+    p = 0.5 * (lay["Sup"] + lay["Sdn"])  # [nb, L, nd, 8, 128]
+    idiff = lay["int_diff"].reshape(nb, L, nd, nd, SUBLANES, LANES)
+    int_source = 2.0 * jnp.einsum(
+        "blnksh,blksh->blnsh", idiff, er_t, precision="highest"
+    ) * dz_t
+    return {"R": lay["R"], "T": lay["T"], "p": p,
+            "int_diff": lay["int_diff"], "int_source": int_source}
 
 
 def pallas_layer_matrices(gamma0, gamma1, gamma2, gamma3, dz, *,

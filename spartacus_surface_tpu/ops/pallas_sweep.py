@@ -729,16 +729,25 @@ def lw_out_rows(do_urban, nreg, with_profiles):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nd", "ns", "nreg", "hw", "interpret"),
+    static_argnames=("nd", "ns", "nreg", "hw", "interpret", "tiled"),
 )
 def sw_up_sweep(R, T, E, Sup, Sdn, uov, vov, ralb, ralbd, grd, *,
-                nd, ns, nreg, hw, interpret=False):
+                nd, ns, nreg, hw, interpret=False, tiled=False):
     """Upward adding sweep.  Per-layer inputs [B, L, rows] (flattened
     matrices), ground pack grd [B, 3] = [albedo, albedo_dir, cos_sza];
     B a multiple of 1024.  Returns (stacks [B, L, rows_st], top [B, rows_top])
-    with stack layout [a_above | d_above | inv_denom | a_below | d_below]."""
-    B, L = R.shape[:2]
-    nb = B // TILE
+    with stack layout [a_above | d_above | inv_denom | a_below | d_below].
+
+    tiled=True: the layer-operator inputs (R..Sdn) arrive as raw factory
+    tiles [nb, L, rows, 8, 128] and stacks is returned in tile form —
+    the zero-copy handoff from pallas_layer.pallas_layer_tiles."""
+    if tiled:
+        nb, L = R.shape[:2]
+        B = nb * TILE
+    else:
+        B, L = R.shape[:2]
+        nb = B // TILE
+    bigt = (lambda x: x) if tiled else _tiles_l
     dtype = R.dtype
     mtot = 2 * nd + nreg
     rows_st = sw_stack_rows(nd, ns, nreg)
@@ -767,27 +776,37 @@ def sw_up_sweep(R, T, E, Sup, Sdn, uov, vov, ralb, ralbd, grd, *,
         compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
-        _tiles_l(R), _tiles_l(T), _tiles_l(E), _tiles_l(Sup), _tiles_l(Sdn),
+        bigt(R), bigt(T), bigt(E), bigt(Sup), bigt(Sdn),
         _tiles_l(uov), _tiles_l(vov), _tiles_l(ralb), _tiles_l(ralbd),
         _tiles(grd),
     )
+    if tiled:
+        return stacks, _untiles(top)
     return _untiles_l(stacks), _untiles(top)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "with_direct",
-                     "do_urban", "with_profiles", "interpret"),
+                     "do_urban", "with_profiles", "interpret", "tiled"),
 )
 def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
                   nd, ns, nreg, hw, rmu, rtan, with_direct, do_urban,
-                  with_profiles, interpret=False):
+                  with_profiles, interpret=False, tiled=False):
     """Downward flux sweep (top to bottom).  aux [B, L, rows] packs
     [f_wall(nreg) | od(max(nreg-1,1)) | ab_coef | vb_coef | wall_albedo];
     grd [B, 1] = [cos_sza].  Returns ({name: [B, L]}, fin [B, nreg + nd])
-    where fin = [dn_dir | dn_diff] below the lowest layer."""
-    B, L = R.shape[:2]
-    nb = B // TILE
+    where fin = [dn_dir | dn_diff] below the lowest layer.
+
+    tiled=True: R..idd and stacks arrive as raw tiles [nb, L, rows, 8, 128]
+    (factory outputs / tiled up-sweep stacks) — no relayout."""
+    if tiled:
+        nb, L = R.shape[:2]
+        B = nb * TILE
+    else:
+        B, L = R.shape[:2]
+        nb = B // TILE
+    bigt = (lambda x: x) if tiled else _tiles_l
     dtype = R.dtype
     nd2 = (nreg + 1) * ns
     rows_st = sw_stack_rows(nd, ns, nreg)
@@ -825,9 +844,9 @@ def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
         compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
-        _tiles_l(R), _tiles_l(T), _tiles_l(E), _tiles_l(Sdn),
-        _tiles_l(idir), _tiles_l(idif), _tiles_l(idd),
-        _tiles_l(stacks), _tiles_l(vov), _tiles_l(aux), _tiles(grd),
+        bigt(R), bigt(T), bigt(E), bigt(Sdn),
+        bigt(idir), bigt(idif), bigt(idd),
+        bigt(stacks), _tiles_l(vov), _tiles_l(aux), _tiles(grd),
     )
     outs = _untiles_l(outs)
     # Reversed layer indexing in the kernel already restored original order
@@ -837,15 +856,23 @@ def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nd", "ns", "nreg", "hw", "interpret"),
+    static_argnames=("nd", "ns", "nreg", "hw", "interpret", "tiled"),
 )
 def lw_up_sweep(R, T, p, uov, vov, reps, remit, exposed, grd, *,
-                nd, ns, nreg, hw, interpret=False):
+                nd, ns, nreg, hw, interpret=False, tiled=False):
     """LW upward adding sweep.  grd [B, 2 + nreg] = [ground_emissivity,
     ground_emission, frac0...].  Returns (stacks, top) with stack layout
-    [a_above | source_above | inv_denom | a_below | source_below]."""
-    B, L = R.shape[:2]
-    nb = B // TILE
+    [a_above | source_above | inv_denom | a_below | source_below].
+
+    tiled=True: R/T/p arrive as raw factory tiles and stacks is returned
+    in tile form (see sw_up_sweep)."""
+    if tiled:
+        nb, L = R.shape[:2]
+        B = nb * TILE
+    else:
+        B, L = R.shape[:2]
+        nb = B // TILE
+    bigt = (lambda x: x) if tiled else _tiles_l
     dtype = R.dtype
     mtot = 2 * nd + 1
     rows_st = lw_stack_rows(nd, ns, nreg)
@@ -873,26 +900,35 @@ def lw_up_sweep(R, T, p, uov, vov, reps, remit, exposed, grd, *,
         compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
-        _tiles_l(R), _tiles_l(T), _tiles_l(p),
+        bigt(R), bigt(T), bigt(p),
         _tiles_l(uov), _tiles_l(vov),
         _tiles_l(reps), _tiles_l(remit), _tiles_l(exposed), _tiles(grd),
     )
+    if tiled:
+        return stacks, _untiles(top)
     return _untiles_l(stacks), _untiles(top)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "with_source",
-                     "do_urban", "with_profiles", "interpret"),
+                     "do_urban", "with_profiles", "interpret", "tiled"),
 )
 def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
                   nd, ns, nreg, hw, rmu, rtan, with_source, do_urban,
-                  with_profiles, interpret=False):
+                  with_profiles, interpret=False, tiled=False):
     """LW downward flux sweep.  aux [B, L, rows] packs [f_wall(nreg) |
     od(max(nreg-1,1)) | ab | vb | weps | sub_air | sub_vegair | sub_veg |
-    sub_wall].  Returns ({name: [B, L]}, dn_fin [B, nd])."""
-    B, L = R.shape[:2]
-    nb = B // TILE
+    sub_wall].  Returns ({name: [B, L]}, dn_fin [B, nd]).
+
+    tiled=True: R/T/p/idif/isrc and stacks arrive as raw tiles."""
+    if tiled:
+        nb, L = R.shape[:2]
+        B = nb * TILE
+    else:
+        B, L = R.shape[:2]
+        nb = B // TILE
+    bigt = (lambda x: x) if tiled else _tiles_l
     dtype = R.dtype
     nd2 = (nreg + 1) * ns
     rows_st = lw_stack_rows(nd, ns, nreg)
@@ -927,9 +963,9 @@ def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
         compiler_params=_SWEEP_COMPILER_PARAMS,
         interpret=interpret,
     )(
-        _tiles_l(R), _tiles_l(T), _tiles_l(p),
-        _tiles_l(idif), _tiles_l(isrc),
-        _tiles_l(stacks), _tiles_l(vov), _tiles_l(aux),
+        bigt(R), bigt(T), bigt(p),
+        bigt(idif), bigt(isrc),
+        bigt(stacks), _tiles_l(vov), _tiles_l(aux),
     )
     outs = _untiles_l(outs)
     out_dict = {name: outs[:, :, i] for i, name in enumerate(out_rows)}

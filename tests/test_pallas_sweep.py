@@ -65,6 +65,36 @@ def test_lw_sweep_kernels_match_scan(nreg):
     _compare(ref, got, f"lw nreg={nreg}")
 
 
+@pytest.mark.parametrize("nreg", [1, 2, 3])
+def test_fused_tile_path_matches_xla(nreg):
+    """Factory AND sweeps both enabled routes through the fused tile-native
+    path (pallas_layer_tiles -> tiled sweeps, zero factory->sweep copies);
+    it must equal the all-XLA reference like the individual kernels do."""
+    import jax
+
+    rng = np.random.default_rng(41)
+    inp = make_inputs(rng, C=3, L=3, S=2, urban=True)
+    inp = jax.tree_util.tree_map(
+        lambda x: None if x is None else np.asarray(x, np.float32), inp
+    )
+    inp_lw = add_lw(inp, rng)
+    lg = LegendreGauss(2)
+    kw = dict(nreg=nreg, nstream=2, do_urban=True, n_double=6)
+    off = SolverOptions(**kw, use_pallas_factory=False,
+                        use_pallas_sweeps=False)
+    on = SolverOptions(**kw, use_pallas_factory=True, use_pallas_sweeps=True)
+    _compare(
+        spartacus_sw(inp, off, lg, with_profiles=True),
+        spartacus_sw(inp, on, lg, with_profiles=True),
+        f"fused sw nreg={nreg}",
+    )
+    _compare(
+        spartacus_lw(inp_lw, off, lg, with_profiles=True),
+        spartacus_lw(inp_lw, on, lg, with_profiles=True),
+        f"fused lw nreg={nreg}", rtol=2e-4,
+    )
+
+
 def test_grad_through_pallas_path_matches_xla():
     """jax.grad works with the Pallas kernels enabled (custom_vjp whose
     backward is the XLA path's VJP), and equals the XLA path's gradient."""
