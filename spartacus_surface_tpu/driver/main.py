@@ -50,6 +50,15 @@ def build_argparser():
              " batch, or the `column_chunk` namelist extension.",
     )
     p.add_argument(
+        "--stream-chunk", type=int, default=None, metavar="N",
+        help="Stream the solve over column chunks of N with double-"
+             "buffered host->device transfer overlapping compute (for"
+             " datasets larger than device/host memory; outputs are"
+             " fetched per chunk and reassembled on the host). Differs"
+             " from --column-chunk, which keeps everything device-resident"
+             " inside one program.",
+    )
+    p.add_argument(
         "--netcdf4", action="store_true",
         help="Write the output as NetCDF4/HDF5 via the native libnetcdf"
              " backend (default: NetCDF3 classic, as the reference driver)",
@@ -232,7 +241,15 @@ def main(argv=None):
     tstart = time.perf_counter()
     for _ in range(max(1, driver_config.nrepeat)):
         with profiling.hook("radsurf"):
-            result = run_radsurf(config, arrays, mesh=mesh)
+            if args.stream_chunk:
+                from ..parallel.streaming import stream_columns
+
+                result = stream_columns(
+                    lambda a: run_radsurf(config, a, mesh=mesh),
+                    arrays, args.stream_chunk,
+                )
+            else:
+                result = run_radsurf(config, arrays, mesh=mesh)
         if config.do_sw:
             sw_norm_dir = flux_utils.scale_flux(
                 result["sw_norm_dir"], data["top_flux_dn_direct_sw"]
