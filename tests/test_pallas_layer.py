@@ -71,6 +71,50 @@ def test_pallas_wrapper_pads_batch():
         )
 
 
+def test_tiles_chunking_is_exact():
+    """pallas_layer_tiles with chunk_nb (lax.map over batch-tile groups —
+    the branch the 16k-column TPU headline takes) must be bit-identical to
+    the unchunked call, and both must match the XLA reference."""
+    from spartacus_surface_tpu.ops.pallas_layer import pallas_layer_tiles
+
+    rng = np.random.default_rng(13)
+    ns, nreg = 2, 1
+    nd, ndir = ns * nreg, nreg
+    Bp, L = 2 * TILE, 2
+    g0 = np.empty((Bp, L, ndir, ndir), np.float32)
+    g1 = np.empty((Bp, L, nd, nd), np.float32)
+    g2 = np.empty((Bp, L, nd, nd), np.float32)
+    g3 = np.empty((Bp, L, nd, ndir), np.float32)
+    for i in range(4):
+        for l in range(L):
+            a0, a1, a2, a3 = make_gammas(rng, ns, nreg)
+            g0[i::4, l], g1[i::4, l] = a0, a1
+            g2[i::4, l], g3[i::4, l] = a2, a3
+    dz = np.full((Bp, L), 0.9, np.float32)
+    fl = lambda x: x.reshape(Bp, L, -1)
+
+    one = pallas_layer_tiles(fl(g0), fl(g1), fl(g2), fl(g3), dz,
+                             nd=nd, ndir=ndir, n_double=4, interpret=True)
+    chk = pallas_layer_tiles(fl(g0), fl(g1), fl(g2), fl(g3), dz,
+                             nd=nd, ndir=ndir, n_double=4, chunk_nb=1,
+                             interpret=True)
+    for key in one:
+        np.testing.assert_array_equal(
+            np.asarray(one[key]), np.asarray(chk[key]), err_msg=key
+        )
+
+    # Cross-check one element batch against the XLA reference: tile
+    # layout [nb, L, rows, 8, 128] with intra-tile index (s*128 + lane)
+    ref = layer_matrices(g0[:8, 0], g1[:8, 0], g2[:8, 0], g3[:8, 0],
+                         dz[:8, 0], n_double=4)
+    for key in ("R", "T", "int_diff"):
+        got = np.asarray(one[key])[0, 0].reshape(-1, TILE)[:, :8].T
+        np.testing.assert_allclose(
+            got, np.asarray(ref[key]).reshape(8, -1),
+            rtol=2e-4, atol=2e-5, err_msg=key,
+        )
+
+
 def test_solver_with_pallas_factory():
     """The full SW solver with the Pallas factory enabled conserves energy
     and matches the XLA-factory solver (f32 accumulation differences)."""
