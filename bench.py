@@ -214,6 +214,26 @@ def main() -> int:
 
     _block(nreg3_blk, "columns_per_sec_per_chip_sw_lw_urban8lay_nreg3")
 
+    # --- 1M-column single-chip capacity (column_chunk streaming) ---------
+    def capacity_blk():
+        C1m = 1048576
+        opt1m = SolverOptions(
+            nreg=2, nstream=4, do_urban=True, column_chunk=131072
+        )
+        sw1, lw1 = g._example_inputs(C=C1m, L=8, S=1, dtype=np.float32)
+        sw1 = jax.tree_util.tree_map(put, sw1)
+        lw1 = jax.tree_util.tree_map(put, lw1)
+        run1 = _make_run_n(opt1m, lg4, spartacus_sw, spartacus_lw)
+        cps1 = _measure(run1, sw1, lw1, C1m, n_short=1, n_long=4) / n_chips
+        print(json.dumps({
+            "metric": "capacity_1M_columns_per_sec_per_chip",
+            "value": round(cps1, 1),
+            "unit": "columns/s/chip",
+            "vs_baseline": round(cps1 / ROUND1_BASELINE_COLS_PER_SEC, 3),
+        }))
+
+    _block(capacity_blk, "capacity_1M_columns_per_sec_per_chip")
+
     # --- headline: nreg=2 x 4-stream ------------------------------------
     def headline_blk():
         C = 16384
