@@ -186,10 +186,15 @@ class SolverOptions:
     # property fuzzer: top_albedo 5.5e4 at cap 12).  Adaptive K means
     # typical layers still take only their ceil(log2(norm/2)) steps.
     n_double: int = 30
-    # Column-chunk size for the per-layer operator factory: bounds the
-    # transient HBM footprint of the expm working set (XLA pads the
-    # trailing small-matrix dims to (8,128) tiles, a ~10x expansion, so
-    # unchunked factories OOM beyond ~16k columns/chip).  0 = no chunking.
+    # Chunk size for the per-layer operator factory: bounds the transient
+    # HBM footprint of the expm working set (XLA pads the trailing
+    # small-matrix dims to (8,128) tiles, a ~10x expansion, so unchunked
+    # factories OOM beyond ~16k columns/chip).  0 = no chunking.  Unit:
+    # COLUMNS on the unfused paths; on the fused tile-native path the
+    # chunk applies to the flattened column x spectral batch (C*S
+    # elements, rounded down to whole 1024-element kernel tiles), so
+    # multiband runs chunk at batch-element rather than column
+    # granularity.
     factory_chunk: int = 8192
     # Run the expm+doubling stage through the hand-written batch-in-lanes
     # Pallas kernel (ops/pallas_layer.py) instead of the XLA path.
@@ -370,31 +375,11 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
         # kernel tile layout; factory outputs flow to the sweep kernels as
         # raw [nb, L, rows, 8, 128] tiles with zero intermediate copies
         # (ROADMAP item 1: the former untile -> transpose -> retile glue).
-        from ..ops.pallas_layer import TILE, pallas_layer_tiles
+        from ..ops.pallas_layer import pallas_layer_tiles
 
-        B = C * S
-        pad = (-B) % TILE
         dtype = g1.dtype
-
-        def gbl(x, n, m):
-            flat = _flat(x).transpose(0, 2, 1, 3).reshape(B, L, n * m)
-            if pad:
-                eye = jnp.broadcast_to(
-                    (-jnp.eye(n, m, dtype=dtype)).reshape(1, 1, n * m),
-                    (pad, L, n * m),
-                )
-                flat = jnp.concatenate([flat, eye], axis=0)
-            return flat
-
-        dz_bl = jnp.broadcast_to(
-            inp.dz[:, None, :], (C, S, L)
-        ).reshape(B, L)
-        if pad:
-            dz_bl = jnp.concatenate(
-                [dz_bl, jnp.zeros((pad, L), dtype)], axis=0
-            )
-        chunk_nb = (
-            max(1, opt.factory_chunk // TILE) if opt.factory_chunk else 0
+        gbl, dz_bl, chunk_nb = _tiled_gamma_prep(
+            inp.dz, C, S, L, dtype, opt.factory_chunk
         )
         lay = pallas_layer_tiles(
             gbl(g0, nreg, nreg), gbl(g1, nd, nd), gbl(g2, nd, nd),
@@ -848,6 +833,39 @@ def _unflat(x, n, m):
     return x.reshape(x.shape[:-1] + (n, m))
 
 
+def _tiled_gamma_prep(dz, C, S, L, dtype, factory_chunk):
+    """Shared input prep for the fused tile-native factory path (SW + LW
+    use identical padding conventions; a fix here fixes both).
+
+    Returns (gbl, dz_bl, chunk_nb): gbl relays a [C, L, S, n, m] gamma
+    stack into the kernel's flattened batch-major order [B(+pad), L, n*m],
+    padding the C*S batch up to a TILE multiple with identity layers
+    (gamma = -I, dz = 0 => expm = I exactly, so padding elements are
+    no-ops); dz_bl is the matching padded [B(+pad), L] thickness; chunk_nb
+    is factory_chunk converted from batch elements to whole kernel tiles.
+    """
+    from ..ops.pallas_layer import TILE
+
+    B = C * S
+    pad = (-B) % TILE
+
+    def gbl(x, n, m):
+        flat = _flat(x).transpose(0, 2, 1, 3).reshape(B, L, n * m)
+        if pad:
+            eye = jnp.broadcast_to(
+                (-jnp.eye(n, m, dtype=dtype)).reshape(1, 1, n * m),
+                (pad, L, n * m),
+            )
+            flat = jnp.concatenate([flat, eye], axis=0)
+        return flat
+
+    dz_bl = jnp.broadcast_to(dz[:, None, :], (C, S, L)).reshape(B, L)
+    if pad:
+        dz_bl = jnp.concatenate([dz_bl, jnp.zeros((pad, L), dtype)], axis=0)
+    chunk_nb = max(1, factory_chunk // TILE) if factory_chunk else 0
+    return gbl, dz_bl, chunk_nb
+
+
 def _chunked_factory(fn, args, chunk: int):
     """Run the per-layer operator factory in column chunks via lax.map to
     bound its transient working set; outputs are returned flattened."""
@@ -1274,30 +1292,10 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
     if lw_tiled:
         # Fused tile-native path (see the SW twin above): one gamma
         # relayout in, raw tiles out, zero factory->sweep copies.
-        from ..ops.pallas_layer import TILE, pallas_lw_layer_tiles
+        from ..ops.pallas_layer import pallas_lw_layer_tiles
 
-        B = C * S
-        pad = (-B) % TILE
-
-        def gbl(x, n, m):
-            flat = _flat(x).transpose(0, 2, 1, 3).reshape(B, L, n * m)
-            if pad:
-                eye = jnp.broadcast_to(
-                    (-jnp.eye(n, m, dtype=dtype)).reshape(1, 1, n * m),
-                    (pad, L, n * m),
-                )
-                flat = jnp.concatenate([flat, eye], axis=0)
-            return flat
-
-        dz_bl = jnp.broadcast_to(
-            inp.dz[:, None, :], (C, S, L)
-        ).reshape(B, L)
-        if pad:
-            dz_bl = jnp.concatenate(
-                [dz_bl, jnp.zeros((pad, L), dtype)], axis=0
-            )
-        chunk_nb = (
-            max(1, opt.factory_chunk // TILE) if opt.factory_chunk else 0
+        gbl, dz_bl, chunk_nb = _tiled_gamma_prep(
+            inp.dz, C, S, L, dtype, opt.factory_chunk
         )
         lay = pallas_lw_layer_tiles(
             gbl(g1m, nd, nd), gbl(g2m, nd, nd),

@@ -977,13 +977,30 @@ def pallas_layer_tiles(gamma0, gamma1, gamma2, gamma3, dz, *,
         interpret=interpret, with_int=with_int, int_direct=int_direct,
         tiled_io=True,
     )
-    if chunk_nb and nb > chunk_nb and nb % chunk_nb == 0:
-        nchunks = nb // chunk_nb
-        split = jax.tree_util.tree_map(
-            lambda x: x.reshape((nchunks, chunk_nb * L) + x.shape[1:]), args
+    if chunk_nb and nb > chunk_nb:
+        # Equal chunks via lax.map bound the transient working set; a
+        # remainder group (nb % chunk_nb tiles) runs as one extra direct
+        # call so the bound holds for EVERY nb, not just exact multiples.
+        nchunks, rem = divmod(nb, chunk_nb)
+        main = jax.tree_util.tree_map(
+            lambda x: x[: nchunks * chunk_nb * L].reshape(
+                (nchunks, chunk_nb * L) + x.shape[1:]
+            ),
+            args,
         )
-        out = jax.lax.map(lambda a: run(*a), split)
-        out = {k: v.reshape((nb * L,) + v.shape[2:]) for k, v in out.items()}
+        out = jax.lax.map(lambda a: run(*a), main)
+        out = {
+            k: v.reshape((nchunks * chunk_nb * L,) + v.shape[2:])
+            for k, v in out.items()
+        }
+        if rem:
+            tail = run(*jax.tree_util.tree_map(
+                lambda x: x[nchunks * chunk_nb * L:], args
+            ))
+            out = {
+                k: jnp.concatenate([v, tail[k]], axis=0)
+                for k, v in out.items()
+            }
     else:
         out = run(*args)
     return {

@@ -1,13 +1,15 @@
 """Streaming column pipeline: overlap host->device transfer with compute.
 
-For datasets larger than device (or host) memory the driver can process
-the column axis in chunks while keeping the accelerator busy: while chunk
-i computes, chunk i+1's host->device DMA is already in flight, and chunk
-i-1's outputs are being fetched.  JAX's asynchronous dispatch provides
-the overlap for free as long as we never block on a transfer before
-enqueueing the next chunk's work; this helper just sequences device_put /
-solve / device_get with a bounded number of in-flight chunks so device
-memory stays bounded at ~depth x chunk working sets.
+For datasets larger than DEVICE memory the driver can process the column
+axis in chunks while keeping the accelerator busy: while chunk i computes,
+chunk i+1's host->device DMA is already in flight, and chunk i-1's outputs
+are being fetched.  JAX's asynchronous dispatch provides the overlap for
+free as long as we never block on a transfer before enqueueing the next
+chunk's work; this helper just sequences device_put / solve / device_get
+with a bounded number of in-flight chunks so device memory stays bounded
+at ~depth x chunk working sets.  (Host memory is NOT bounded: inputs must
+be resident host arrays and outputs are accumulated then concatenated, so
+the host holds roughly 2x the output size at peak.)
 
 The reference has no analogue (it is an in-core OpenMP loop,
 driver/spartacus_surface_driver.F90:199-234); this is the TPU-native
@@ -47,6 +49,15 @@ def stream_columns(solve, arrays, chunk: int, depth: int = 2):
     Returns the solve outputs as HOST arrays concatenated over columns.
     """
     ncol = len(next(iter(arrays.values())))
+    bad = {
+        k: np.shape(v) for k, v in arrays.items()
+        if np.ndim(v) == 0 or len(v) != ncol
+    }
+    if bad:
+        raise ValueError(
+            "stream_columns slices every input on axis 0; these arrays do"
+            f" not have a leading column axis of length {ncol}: {bad}"
+        )
     if chunk <= 0 or chunk >= ncol:
         return jax.tree_util.tree_map(np.asarray, solve(arrays))
 
