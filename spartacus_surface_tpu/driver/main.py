@@ -94,6 +94,11 @@ def build_argparser():
         "--process-id", type=int, default=None, metavar="I",
         help="This process's rank (0-based) for --coordinator runs",
     )
+    p.add_argument(
+        "--keep-shards", action="store_true",
+        help="Multi-process runs: keep the per-process OUTPUT.pNN shards"
+             " after process 0 merges them into the single OUTPUT file",
+    )
     return p
 
 
@@ -290,6 +295,21 @@ def main(argv=None):
         save_canopy_fluxes(args.output + proc_suffix, config, arrays,
                            sw_flux, lw_flux,
                            iverbose=iverbose, is_hdf5_file=args.netcdf4)
+    if jax.process_count() > 1:
+        # One output file, always — the reference driver's contract
+        # (radsurf_save.F90:26): barrier until every process has written
+        # its shard, then process 0 merges OUTPUT.pNN -> OUTPUT.
+        from ..parallel.distributed import barrier
+
+        from .merge import merge_shards
+
+        barrier("spartacus_shards_written")
+        if jax.process_index() == 0:
+            merge_shards(args.output, n_processes=jax.process_count(),
+                         delete=not args.keep_shards,
+                         is_hdf5_file=args.netcdf4)
+            log(f"Merged {jax.process_count()} output shards into"
+                f" {args.output}")
     if args.profile:
         profiling.stop_trace()
         profiling.report()

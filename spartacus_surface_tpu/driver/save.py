@@ -22,9 +22,15 @@ _SURFACE_TYPE_DEFN = (
 
 
 def _mask_layers(var, nlay):
-    """Apply the fill value beyond each column's layer count."""
-    out = np.array(var, np.float64)
-    mask = np.arange(out.shape[1])[None, :] >= nlay[:, None]
+    """Apply the fill value beyond each column's layer count, truncated to
+    this file's layer dimension (= max(nlay), floored at 1).  The dense
+    solver arrays keep the GLOBAL layer padding, which can exceed this
+    file's deepest canopy when a multi-process column shard holds only
+    shallow columns; the floor of 1 matches the file's layer dimension
+    (a 0-size NetCDF3 dimension would become the unlimited record dim)."""
+    nmaxlay = max(int(nlay.max()), 1)
+    out = np.array(var, np.float64)[:, :nmaxlay]
+    mask = np.arange(nmaxlay)[None, :] >= nlay[:, None]
     out[mask] = FILL
     return out
 
@@ -35,7 +41,10 @@ def save_canopy_fluxes(path, config, arrays, flux_sw, flux_lw, iverbose=None,
     radsurf/radsurf_save.F90:26-166)."""
     nlay = arrays["nlay"]
     ncol = nlay.shape[0]
-    nmaxlay = int(nlay.max())
+    # Floor of 1: a 0-size NetCDF3 dimension is the unlimited record dim
+    # (all-flat multi-process shards have max(nlay) == 0); layered values
+    # are then a single all-fill layer (cf. _mask_layers).
+    nmaxlay = max(int(nlay.max()), 1)
     dz = arrays["dz"]
 
     with OutputFile(path, is_hdf5_file=is_hdf5_file) as out:

@@ -37,6 +37,31 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     )
 
 
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Cross-process barrier via the coordination service.
+
+    Preferred over multihost_utils.sync_global_devices for control-flow
+    sync (e.g. "all shards written"): it is a pure KV-store rendezvous
+    with a configurable timeout, whereas a device-collective barrier
+    rides gloo/ICI with a short (~30 s) setup deadline that trips when
+    processes reach it at different times (uneven column counts make
+    compile times genuinely different per process)."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src.distributed import global_state
+
+        client = global_state.client
+    except Exception:
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def make_global_mesh() -> Mesh:
     """1-D mesh over every device of every host, column axis."""
     return Mesh(np.asarray(jax.devices()), ("columns",))
@@ -45,13 +70,16 @@ def make_global_mesh() -> Mesh:
 def host_column_slice(ncol_global: int) -> slice:
     """The contiguous slice of global columns this host should read.
 
-    Columns are padded up to a multiple of the global device count by the
-    caller; each host loads only its shard of the input file (the
-    reference reads everything on the single process)."""
+    Balanced split: the first ncol % nproc hosts take one extra column, so
+    every host gets >= 1 column whenever nproc <= ncol (a ceil-division
+    split would hand trailing hosts zero columns on uneven counts).  Each
+    host loads only its shard of the input file (the reference reads
+    everything on the single process)."""
     nproc = jax.process_count()
     pid = jax.process_index()
-    per_host = -(-ncol_global // nproc)
-    return slice(pid * per_host, min((pid + 1) * per_host, ncol_global))
+    base, rem = divmod(ncol_global, nproc)
+    start = pid * base + min(pid, rem)
+    return slice(start, start + base + (1 if pid < rem else 0))
 
 
 def global_column_array(local_arrays, mesh: Mesh, ncol_global: int):

@@ -158,6 +158,39 @@ class NativeFile:
     def rank(self, name: str) -> int:
         return len(self.var_info(name)[2])
 
+    def attributes(self, varname: Optional[str] = None) -> dict:
+        """Attributes of a variable (or global when varname is None)."""
+        natts = ctypes.c_int()
+        if varname is None:
+            varid = NC_GLOBAL
+            _check(self._lib.nc_inq_natts(self._ncid, ctypes.byref(natts)))
+        else:
+            varid = self._varid(varname)
+            _check(self._lib.nc_inq_varnatts(self._ncid, varid,
+                                             ctypes.byref(natts)))
+        out = {}
+        buf = ctypes.create_string_buffer(256)
+        for i in range(natts.value):
+            _check(self._lib.nc_inq_attname(self._ncid, varid, i, buf))
+            name = buf.value.decode()
+            xtype = ctypes.c_int()
+            alen = ctypes.c_size_t()
+            _check(self._lib.nc_inq_att(self._ncid, varid, name.encode(),
+                                        ctypes.byref(xtype),
+                                        ctypes.byref(alen)))
+            if xtype.value in (NC_CHAR, NC_STRING):
+                sbuf = ctypes.create_string_buffer(alen.value + 1)
+                _check(self._lib.nc_get_att_text(
+                    self._ncid, varid, name.encode(), sbuf))
+                out[name] = sbuf.raw[: alen.value].decode(errors="replace")
+            else:
+                arr = np.empty(alen.value, np.float64)
+                _check(self._lib.nc_get_att_double(
+                    self._ncid, varid, name.encode(),
+                    arr.ctypes.data_as(ctypes.c_void_p)))
+                out[name] = arr if arr.size > 1 else float(arr[0])
+        return out
+
     def var_dimensions(self, name: str):
         return self.var_info(name)[3]
 
