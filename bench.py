@@ -1,17 +1,29 @@
 """Benchmark: columns/sec/chip for the full SW+LW vegetated-urban solve.
 
 Prints one JSON line per block, the HEADLINE metric LAST:
+  {"metric": "compile_check_matrix_ok", ...}      AOT pre-flight, all configs
   {"metric": "pallas_xla_parity", ...}            on-chip kernel parity
+  {"metric": "mesh_sharded_parity", ...}          kernels under NamedSharding
   {"metric": "columns_per_sec_per_chip_..._nreg3", ...}  hard RAMI-V config
+  {"metric": "..._rami5_62lay_14band_nreg3", ...} flagship RAMI-V shape
+  {"metric": "capacity_1M_columns_per_sec_per_chip", ...}
   {"metric": "columns_per_sec_per_chip_sw_lw_urban8lay", "value": N,
    "unit": "columns/s/chip", "vs_baseline": N}    headline (round-over-round)
+
+EVERY block gates the exit code: a failed block prints {"metric", "error"}
+and the bench exits nonzero even if the headline measured fine (round-3
+lesson: rc ignored the nreg=3 and capacity blocks, so the exact config
+whose crash erased round 2's evidence could regress silently).
 
 Workload (fixed shape, cf. BASELINE.md): vegetated-urban canopy, 8 layers,
 1 spectral interval, 4 streams/hemisphere, 2 regions, SW (both
 normalizations) + LW (internal + incoming) — the full per-timestep work of
 the offline scheme, float32, inputs device-resident.  The nreg=3 line is
 the RAMI-V flagship configuration (n_vegetation_region=2, 4 streams,
-nd=12) which round 1 could only run on the XLA fallback.
+nd=12) which round 1 could only run on the XLA fallback; the rami5 line
+runs the flagship SHAPE the reference community actually submits — 62
+layers x 14 spectral bands x nreg=3 x 4 streams
+(test/rami5/config.nam, scene_nc/* are 1 x 62 x 14 columns).
 
 Measurement design (differential in-jit loop):
   * the timestep loop runs INSIDE one jitted program (lax.fori_loop with a
@@ -173,7 +185,20 @@ def main() -> int:
     n_chips = jax.device_count()
     put = lambda x: None if x is None else jax.device_put(x)
     lg4 = LegendreGauss(4)
-    status = {"parity_ok": False, "headline_ok": False}
+    # Every named block must succeed for rc == 0 (see module docstring).
+    ok: dict[str, bool] = {}
+
+    # --- pre-flight: AOT-compile every auto-enabled kernel config --------
+    def compile_blk():
+        g.compile_check_matrix(verbose=False)
+        print(json.dumps({
+            "metric": "compile_check_matrix_ok",
+            "value": len(g.ENTRY_CONFIGS),
+            "unit": "configs_compiled",
+            "vs_baseline": 1.0,
+        }))
+
+    ok["compile"] = _block(compile_blk, "compile_check_matrix_ok")
 
     # --- on-chip kernel parity (auto path vs XLA reference) -------------
     def parity_blk():
@@ -185,7 +210,6 @@ def main() -> int:
         # Schur inverses amplify f32 rounding; a LOGIC bug (wrong term,
         # miscompile) shows at >= 1e-1 field scale, 50x above this gate.
         parity_ok = all(v < 2.5e-3 for v in parity.values())
-        status["parity_ok"] = parity_ok
         print(json.dumps({
             "metric": "pallas_xla_parity_max_rel_err",
             "value": max(parity.values()),
@@ -193,8 +217,37 @@ def main() -> int:
             "ok": parity_ok,
             "per_config": parity,
         }))
+        assert parity_ok, f"parity gate failed: {parity}"
 
-    _block(parity_blk, "pallas_xla_parity_max_rel_err")
+    ok["parity"] = _block(parity_blk, "pallas_xla_parity_max_rel_err")
+
+    # --- kernels under NamedSharding (production mesh path) --------------
+    def mesh_blk():
+        from spartacus_surface_tpu.models.dispatch import run_radsurf
+        from spartacus_surface_tpu.parallel.mesh import make_mesh
+        from spartacus_surface_tpu.utils.config import Config
+
+        config = Config(nsw=1, nlw=1, do_save_flux_profile=True)
+        config.consolidate()
+        arrays = g._example_arrays(C=2048, L=8, S=1)
+        ref = jax.device_get(run_radsurf(config, arrays, mesh=None))
+        mesh = make_mesh(n_chips)
+        got = jax.device_get(run_radsurf(config, arrays, mesh=mesh))
+        err = _max_rel_err(ref, got)
+        # Same arithmetic on the same chip; only the sharding annotations
+        # differ, so anything beyond f32 reassociation noise is a
+        # partitioning bug.
+        mesh_ok = err < 1e-6
+        print(json.dumps({
+            "metric": "mesh_sharded_parity_max_rel_err",
+            "value": err,
+            "unit": "rel_err",
+            "ok": mesh_ok,
+            "n_mesh_devices": int(mesh.devices.size),
+        }))
+        assert mesh_ok, f"mesh parity gate failed: {err}"
+
+    ok["mesh"] = _block(mesh_blk, "mesh_sharded_parity_max_rel_err")
 
     # --- nreg=3 x 4-stream (RAMI-V flagship config, nd=12) --------------
     def nreg3_blk():
@@ -212,7 +265,32 @@ def main() -> int:
             "vs_baseline": round(cps3 / ROUND1_BASELINE_COLS_PER_SEC, 3),
         }))
 
-    _block(nreg3_blk, "columns_per_sec_per_chip_sw_lw_urban8lay_nreg3")
+    ok["nreg3"] = _block(
+        nreg3_blk, "columns_per_sec_per_chip_sw_lw_urban8lay_nreg3")
+
+    # --- flagship RAMI-V shape: 62 layers x 14 bands x nreg=3 x ns=4 -----
+    def rami5_blk():
+        C5, L5, S5 = 1024, 62, 14
+        opt5 = SolverOptions(nreg=3, nstream=4, do_urban=True)
+        sw5, lw5 = g._example_inputs(C=C5, L=L5, S=S5, dtype=np.float32)
+        sw5 = jax.tree_util.tree_map(put, sw5)
+        lw5 = jax.tree_util.tree_map(put, lw5)
+        run5 = _make_run_n(opt5, lg4, spartacus_sw, spartacus_lw)
+        cps5 = _measure(run5, sw5, lw5, C5, n_short=1, n_long=4) / n_chips
+        # vs_baseline normalizes per unit of (layer x band) work so the
+        # number is comparable with the 8-layer single-band baseline.
+        work_ratio = (L5 * S5) / 8.0
+        print(json.dumps({
+            "metric": "columns_per_sec_per_chip_rami5_62lay_14band_nreg3",
+            "value": round(cps5, 1),
+            "unit": "columns/s/chip",
+            "vs_baseline": round(
+                cps5 * work_ratio / ROUND1_BASELINE_COLS_PER_SEC, 3
+            ),
+        }))
+
+    ok["rami5"] = _block(
+        rami5_blk, "columns_per_sec_per_chip_rami5_62lay_14band_nreg3")
 
     # --- 1M-column single-chip capacity (column_chunk streaming) ---------
     def capacity_blk():
@@ -232,7 +310,7 @@ def main() -> int:
             "vs_baseline": round(cps1 / ROUND1_BASELINE_COLS_PER_SEC, 3),
         }))
 
-    _block(capacity_blk, "capacity_1M_columns_per_sec_per_chip")
+    ok["capacity"] = _block(capacity_blk, "capacity_1M_columns_per_sec_per_chip")
 
     # --- headline: nreg=2 x 4-stream ------------------------------------
     def headline_blk():
@@ -255,13 +333,12 @@ def main() -> int:
             ),
         }))
 
-    status["headline_ok"] = _block(
+    ok["headline"] = _block(
         headline_blk, "columns_per_sec_per_chip_sw_lw_urban8lay")
 
-    # Self-gating: the bench fails (rc != 0) if the headline could not be
-    # measured OR the on-chip parity check did not pass — parity is a hard
-    # gate, not advisory.
-    return 0 if (status["headline_ok"] and status["parity_ok"]) else 1
+    # Self-gating: EVERY block must have succeeded (compile pre-flight,
+    # both parity gates, and all four throughput measurements).
+    return 0 if all(ok.values()) else 1
 
 
 if __name__ == "__main__":

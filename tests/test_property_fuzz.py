@@ -25,7 +25,7 @@ from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
 from tests.test_solver_conservation import residual_sw
 from spartacus_surface_tpu.utils.constants import StefanBoltzmann as SB
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.fuzz]
 
 # Corner values the ChangeLog bugs lived in: exact zeros, epsilons around
 # the 1e-6 min-fraction threshold, and closed canopies.
@@ -146,16 +146,25 @@ def test_fuzz_lw_conservation(vfrac, bfrac, fsd, ext, contact, nreg, ns):
     for out in (internal, norm):
         for key, val in out.items():
             assert np.isfinite(np.asarray(val)).all(), key
-    # `internal` is in absolute W/m2 (emission scale ~ sigma T^4 ~ 4e2), so
-    # the O(fraction) degenerate-region leak is O(fraction * scale) ~ 1e-3
-    # at epsilon fractions; `norm` is per-unit-TOC (scale 1).
-    np.testing.assert_allclose(residual_sw(internal), 0.0, atol=2e-3)
+    # `internal` is in absolute W/m2, so its admissible residual scales
+    # with THIS DRAW's emission magnitude (the O(fraction)
+    # degenerate-region leak is O(fraction * scale)); normalize by the
+    # draw's largest emission/Planck input instead of a blanket constant.
+    # `norm` is per-unit-TOC (scale 1).
+    emission_scale = max(
+        float(np.abs(np.asarray(x)).max())
+        for x in (inp.ground_emission, inp.roof_emission, inp.wall_emission,
+                  inp.clear_air_planck, inp.veg_planck, inp.veg_air_planck)
+    )
+    np.testing.assert_allclose(
+        residual_sw(internal), 0.0, atol=5e-6 * emission_scale
+    )
     np.testing.assert_allclose(residual_sw(norm), 0.0, atol=3e-6)
     e = np.asarray(bc["top_emissivity"])
     assert np.all(e >= 0.0) and np.all(e <= 1.0 + 1e-12)
 
 
-@settings(max_examples=15, deadline=None, derandomize=True, phases=_PHASES,
+@settings(max_examples=24, deadline=None, derandomize=True, phases=_PHASES,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     # Fractions stay at 0 or >= min_vegetation_fraction: pyref excises
@@ -170,11 +179,14 @@ def test_fuzz_lw_conservation(vfrac, bfrac, fsd, ext, contact, nreg, ns):
     fsd=st.sampled_from([0.0, 1.0, 10.0]),
     ext=st.sampled_from([1e-6, 0.5, 20.0]),
     nvegreg=st.sampled_from([1, 2]),
-    ns=st.sampled_from([2]),
+    ns=st.sampled_from([2, 4]),
 )
 def test_fuzz_pyref_parity(vfrac, bfrac, cos_sza, fsd, ext, nvegreg, ns):
     """Drawn corner canopies must match the independent pyref oracle
-    (tests/pyref) field-for-field, not just conserve."""
+    (tests/pyref) field-for-field, not just conserve.  The (nreg, ns)
+    matrix spans nreg = nvegreg + 1 in {2, 3} x ns in {2, 4}, so the
+    RAMI-V flagship configuration (nreg=3, 4 streams — the set the bench
+    measures) gets full-field corner parity, not just conservation."""
     from spartacus_surface_tpu.models.dispatch import (
         TILE_VEGETATED_URBAN, run_radsurf)
     from spartacus_surface_tpu.utils.config import Config

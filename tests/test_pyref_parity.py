@@ -142,17 +142,19 @@ RAMI5_SCENES = ("HET07_JPS_SUM", "HET08_OPS_WIN", "HET09_JBS_SUM",
 #   field                observed     granted
 #   wall_in / wall_net    8.6e-5       2e-4
 #   veg_abs               6.4e-5       1.5e-4
-#   flux_up_layer_*       2.8e-5       6e-5
+#   flux_up_layer_top     2.8e-5       6e-5
 #   sw_albedo_dir         2.8e-5       6e-5
+#   flux_up_layer_base    1.4e-5       3e-5
 # Worst ABSOLUTE error anywhere: 1.6e-7 (atol=1e-6 covers near-zero
-# elements).  Regenerate the table with the script in this docstring's
-# history: run pyref vs run_radsurf per scene and print per-field maxima.
+# elements).  Regenerate/audit the table with
+# tools/derive_rami5_tolerances.py, which recomputes the per-field maxima
+# and verifies they reproduce this dict.
 RAMI5_RTOL_FIELDS = {
     "wall_in": 2e-4,
     "wall_net": 2e-4,
     "veg_abs": 1.5e-4,
     "flux_up_layer_top": 6e-5,
-    "flux_up_layer_base": 6e-5,
+    "flux_up_layer_base": 3e-5,
     "sw_albedo_dir": 6e-5,
 }
 
