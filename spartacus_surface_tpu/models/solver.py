@@ -178,7 +178,7 @@ class SolverOptions:
     min_vegetation_fraction: float = 1.0e-6
     min_building_fraction: float = 1.0e-6
     # Doubling-step CAP for the norm-adaptive expm factory: handles
-    # per-layer ||Gamma dz|| up to 2*2**n_double.  30 covers the most
+    # per-layer ||Gamma dz|| up to theta*2**n_double.  30 covers the most
     # extreme attainable system — horizon sun (cos_sza clamped at 1e-6)
     # injects tan(theta) ~ 1e6 wall/direct terms, and ext*dz ~ 1e3 —
     # whose norm is ~1e9; a smaller cap silently truncates the Pade
@@ -1643,6 +1643,27 @@ def _lw_diff_bwd(opt, lg, with_profiles, inp, ct):
 _lw_diff.defvjp(_lw_diff_fwd, _lw_diff_bwd)
 
 
+def _coerce_dtype(inp: CanopyInputs) -> CanopyInputs:
+    """Cast every array field to ONE working dtype (air_ext's).
+
+    Mixed-precision inputs (e.g. f32 optics with f64 Planck emissions)
+    would otherwise make the adding-scan carry dtypes diverge mid-solve
+    (jax.lax.scan requires carry-in == carry-out types) and silently
+    promote parts of the f32 fast path to f64."""
+    from dataclasses import fields, replace
+
+    dtype = jnp.asarray(inp.air_ext).dtype
+    kw = {}
+    for f in fields(inp):
+        x = getattr(inp, f.name)
+        if x is None:
+            continue
+        xa = jnp.asarray(x)
+        if xa.dtype != dtype:
+            kw[f.name] = xa.astype(dtype)
+    return replace(inp, **kw) if kw else inp
+
+
 def _sanitize_forest(inp: CanopyInputs, opt: SolverOptions) -> CanopyInputs:
     """Forest solves must ignore building inputs entirely (the reference's
     forest solvers never read them, radsurf_forest_sw.F90:226-234): input
@@ -1669,8 +1690,8 @@ def spartacus_sw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         _sw_diff if (_use_pallas(opt) or _use_pallas_sweeps(opt, lg))
         else _spartacus_sw_impl
     )
-    return _chunked_solve(impl, _sanitize_forest(inp, opt), opt, lg,
-                          with_profiles)
+    return _chunked_solve(impl, _coerce_dtype(_sanitize_forest(inp, opt)),
+                          opt, lg, with_profiles)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "lg", "with_profiles"))
@@ -1682,5 +1703,5 @@ def spartacus_lw(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
         _lw_diff if (_use_pallas(opt) or _use_pallas_sweeps(opt, lg))
         else _spartacus_lw_impl
     )
-    return _chunked_solve(impl, _sanitize_forest(inp, opt), opt, lg,
-                          with_profiles)
+    return _chunked_solve(impl, _coerce_dtype(_sanitize_forest(inp, opt)),
+                          opt, lg, with_profiles)

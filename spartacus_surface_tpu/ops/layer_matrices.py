@@ -58,6 +58,27 @@ import jax.numpy as jnp
 
 from .matrix import expm_pade7, inv, matmul, solve
 
+# Pade-7 scaling thresholds for the norm-adaptive expm: K =
+# ceil(log2(||Gamma dz||_inf / theta)), PER WORKING PRECISION.  3.92 is
+# Higham's single-precision theta_7 (truncation ~6e-8 at the boundary,
+# i.e. at f32 rounding; a smaller theta buys accuracy f32 cannot carry at
+# the cost of one extra doubling step per element — ~12% of factory FLOPs
+# at nd=12).  The f64 path keeps theta = 2 (truncation ~2e-11) because it
+# doubles as the accuracy oracle and the reference-grade CLI path.  The
+# Pallas kernels use the same dtype-dependent choice, so within one
+# precision ALL paths pick the SAME K per element and agree to plain
+# rounding.
+PADE7_THETA_F32 = 3.9
+PADE7_THETA_F64 = 2.0
+
+
+def pade7_theta(dtype) -> float:
+    """Scaling threshold for the given working dtype."""
+    return (
+        PADE7_THETA_F32 if jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        else PADE7_THETA_F64
+    )
+
 
 def combine_layers(top: dict, bot: dict) -> dict:
     """Adding method: stack layer `top` above layer `bot`.
@@ -143,9 +164,9 @@ def layer_matrices(
     # over-scales thin layers and the extra doublings amplify f32 rounding
     # ~40x (measured: T/E error 6.9e-4 fixed vs 1.6e-5 adaptive against an
     # f64 oracle on RAMI-like gammas); adaptive scaling is both the more
-    # accurate and the cheaper choice.  theta = 2 keeps the Pade-7
-    # truncation error ~2e-11, far below f32 rounding.
-    theta = 2.0
+    # accurate and the cheaper choice.  theta is precision-dependent (see
+    # pade7_theta above).
+    theta = pade7_theta(gamma1.dtype)
     nrm = jnp.max(jnp.sum(jnp.abs(g_dz), axis=-1), axis=-1)
     n_k = jnp.clip(
         jnp.ceil(jnp.log2(jnp.maximum(nrm, 1e-30) / theta)), 0, n_double

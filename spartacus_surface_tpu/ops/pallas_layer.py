@@ -30,6 +30,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .layer_matrices import pade7_theta
+
 LANES = 128
 SUBLANES = 8
 TILE = LANES * SUBLANES  # batch elements per grid program
@@ -302,7 +304,7 @@ def _layer_kernel(nd, ndir, n_double, g0_ref, g1_ref, g2_ref, g3_ref,
     # ---- norm-adaptive scaling: PER-ELEMENT K from the row-sum norm
     # (matches the XLA path's policy exactly, so the two paths apply the
     # same doubling count per element and agree to plain f32 rounding)
-    theta = 2.0
+    theta = pade7_theta(dz_ref.dtype)
     nrm = jnp.zeros_like(G[0])
     for i in range(N):
         nrm = jnp.maximum(
@@ -562,7 +564,7 @@ def _layer_kernel_structured(nd, ndir, n_double, g0_ref, g1_ref, g2_ref,
     # rows; |g0| rows) — the exact formula the XLA path and the dense
     # kernel use — so all three paths pick the same K per element and
     # agree to plain f32 rounding.
-    theta = 2.0
+    theta = pade7_theta(dz_ref.dtype)
     nrm = jnp.zeros_like(rec[0])
     for i in range(nd):
         nrm = jnp.maximum(

@@ -70,7 +70,10 @@ def measure_vpu_peak_flops():
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((ROWS, 8, 128), jnp.float32),
             )(a) + i * 0.0
-        return jax.lax.fori_loop(0, n, body, x)
+        # Scalar checksum: fetching a VALUE is the only reliable completion
+        # fence on the dev relay (its block_until_ready is asynchronous —
+        # see BASELINE.md methodology / bench.py).
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x))
 
     t = _differential_time(lambda n: run(x, n))
     flops_per_iter = 2.0 * ROWS * 8 * 128 * INNER * GRID
@@ -109,7 +112,8 @@ def measure_hbm_bw():
                 out_shape=jax.ShapeDtypeStruct((NBLK, ROWS, 8, 128),
                                                jnp.float32),
             )(a)
-        return jax.lax.fori_loop(0, n, body, x)
+        # Scalar checksum fence (see measure_vpu_peak_flops).
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x)[:, 0, 0, 0])
 
     t = _differential_time(lambda n: run(x, n), n_short=2, n_long=8)
     bytes_per_iter = 2.0 * x.size * 4
@@ -117,16 +121,16 @@ def measure_hbm_bw():
 
 
 def _differential_time(run_n, n_short=3, n_long=13):
-    import jax
-
-    jax.block_until_ready(run_n(1))
+    """run_n must return a SCALAR; float() of it is the completion fence
+    (the dev relay's block_until_ready is asynchronous)."""
+    assert np.isfinite(float(run_n(1)))
     steps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_n(n_short))
+        float(run_n(n_short))
         ts = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(run_n(n_long))
+        float(run_n(n_long))
         tl = time.perf_counter() - t0
         steps.append(max(tl - ts, 1e-9) / (n_long - n_short))
     return float(np.median(steps))
