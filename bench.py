@@ -252,7 +252,8 @@ def main() -> int:
     # --- nreg=3 x 4-stream (RAMI-V flagship config, nd=12) --------------
     def nreg3_blk():
         C3 = 8192
-        opt3 = SolverOptions(nreg=3, nstream=4, do_urban=True)
+        opt3 = SolverOptions(nreg=3, nstream=4, do_urban=True,
+                             column_chunk=-1)
         sw3, lw3 = g._example_inputs(C=C3, L=8, S=1, dtype=np.float32)
         sw3 = jax.tree_util.tree_map(put, sw3)
         lw3 = jax.tree_util.tree_map(put, lw3)
@@ -271,7 +272,8 @@ def main() -> int:
     # --- flagship RAMI-V shape: 62 layers x 14 bands x nreg=3 x ns=4 -----
     def rami5_blk():
         C5, L5, S5 = 1024, 62, 14
-        opt5 = SolverOptions(nreg=3, nstream=4, do_urban=True)
+        opt5 = SolverOptions(nreg=3, nstream=4, do_urban=True,
+                             column_chunk=-1)
         sw5, lw5 = g._example_inputs(C=C5, L=L5, S=S5, dtype=np.float32)
         sw5 = jax.tree_util.tree_map(put, sw5)
         lw5 = jax.tree_util.tree_map(put, lw5)
@@ -295,8 +297,12 @@ def main() -> int:
     # --- 1M-column single-chip capacity (column_chunk streaming) ---------
     def capacity_blk():
         C1m = 1048576
+        # AUTO chunking (the production default through run_radsurf):
+        # resolves to ~2048-column chunks, which both bound the HBM
+        # working set AND are the measured throughput optimum (131072
+        # chunks ran at 1.41M cols/s, 2048 at 1.90M, v5e round 4).
         opt1m = SolverOptions(
-            nreg=2, nstream=4, do_urban=True, column_chunk=131072
+            nreg=2, nstream=4, do_urban=True, column_chunk=-1
         )
         sw1, lw1 = g._example_inputs(C=C1m, L=8, S=1, dtype=np.float32)
         sw1 = jax.tree_util.tree_map(put, sw1)
@@ -315,7 +321,8 @@ def main() -> int:
     # --- headline: nreg=2 x 4-stream ------------------------------------
     def headline_blk():
         C = 16384
-        opt = SolverOptions(nreg=2, nstream=4, do_urban=True)
+        opt = SolverOptions(nreg=2, nstream=4, do_urban=True,
+                            column_chunk=-1)
         sw_inp, lw_inp = g._example_inputs(C=C, L=8, S=1, dtype=np.float32)
         sw_inp = jax.tree_util.tree_map(put, sw_inp)
         lw_inp = jax.tree_util.tree_map(put, lw_inp)

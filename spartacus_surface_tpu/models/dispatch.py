@@ -408,6 +408,12 @@ def run_radsurf(config: Config, arrays: dict, mesh=None):
         if not idx.size:
             continue
         n = int(idx.size)
+        if not opt_kw["column_chunk"] and mesh is None:
+            # AUTO chunking (solver._resolve_column_chunk): a measured perf
+            # win on the fused kernel path for large unsharded batches.
+            # Never under a mesh — the chunk reshape would split the
+            # sharded column axis.
+            opt_kw = {**opt_kw, "column_chunk": -1}
         pl = {"cos_sza": np.asarray(arrays["cos_sza"])[idx]}
         opt_sw = opt_lw = None
         if config.do_sw:

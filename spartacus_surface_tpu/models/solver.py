@@ -210,10 +210,17 @@ class SolverOptions:
     # force-overrides.
     use_pallas_sweeps: bool | None = None
     # Solve in column chunks of this size via lax.map (0 = whole batch in
-    # one pass).  Bounds the HBM working set — the per-interface operator
-    # stacks are the largest transient (~70 KB/column at nreg=2, ns=4,
-    # L=8) — so datasets of 1M+ columns fit on one chip.  Columns are
-    # padded up to a chunk multiple with no-op values and sliced off.
+    # one pass; -1 = AUTO, see _resolve_column_chunk).  Bounds the HBM
+    # working set — the per-interface operator stacks are the largest
+    # transient (~70 KB/column at nreg=2, ns=4, L=8) — so datasets of 1M+
+    # columns fit on one chip.  Columns are padded up to a chunk multiple
+    # with no-op values and sliced off.  Chunking is also a measured perf
+    # WIN on the fused kernel path (~2k-column chunks keep the transient
+    # operator stacks streaming instead of thrashing HBM: v5e headline
+    # 1.70M -> 2.18M cols/s, nreg=3 744k -> 818k), which is what AUTO
+    # exploits.  Do not use AUTO with inputs sharded over a mesh: the
+    # chunk reshape would split the sharded column axis (run_radsurf
+    # resolves AUTO only for unsharded runs).
     column_chunk: int = 0
 
 
@@ -1574,9 +1581,28 @@ def _pad_columns(inp: CanopyInputs, pad: int) -> CanopyInputs:
     return replace(inp, **kw)
 
 
+# AUTO column-chunk target (measured optimum on v5e, round 4: 2048-column
+# chunks beat both the unchunked whole batch and smaller 512 chunks; see
+# SolverOptions.column_chunk).
+_AUTO_COLUMN_CHUNK = 2048
+
+
+def _resolve_column_chunk(opt: SolverOptions, lg, C: int) -> int:
+    """Resolve the column_chunk sentinel: -1 = AUTO picks an even ~2048
+    split on the fused kernel path, no chunking elsewhere."""
+    ck = opt.column_chunk
+    if ck != -1:
+        return ck
+    if (C <= _AUTO_COLUMN_CHUNK
+            or not (_use_pallas(opt) and _use_pallas_sweeps(opt, lg))):
+        return 0
+    n_chunks = -(-C // _AUTO_COLUMN_CHUNK)
+    return -(-C // n_chunks)
+
+
 def _chunked_solve(impl, inp, opt, lg, with_profiles):
     C = inp.dz.shape[0]
-    ck = opt.column_chunk
+    ck = _resolve_column_chunk(opt, lg, C)
     if not ck or C <= ck:
         return impl(inp, opt, lg, with_profiles)
     pad = (-C) % ck

@@ -127,8 +127,8 @@ def test_rami5_full_matrix(scene):
     assert np.all(alb[~black] >= alb[black] - 1e-12)
     assert np.all((alb > 0.0) & (alb < 1.0))
     # Direct-beam ground penetration decreases as the sun lowers
-    direct_real = [(1 + i) * 2 for i in range(len(szas))]
-    pen = (sw["ground_dn_dir"].sum(-1) / top_dn.sum(-1))[direct_real]
+    direct_real = np.array([(1 + i) * 2 for i in range(len(szas))])
+    pen = np.asarray(sw["ground_dn_dir"].sum(-1) / top_dn.sum(-1))[direct_real]
     order = np.argsort([np.cos(np.deg2rad(s)) for s in szas])
     for a, b in zip(order[:-1], order[1:]):  # ascending cos_sza
         assert pen[a] <= pen[b] + 1e-12

@@ -199,3 +199,30 @@ def test_column_chunked_solve_matches_unchunked():
                 np.asarray(pd[k]), np.asarray(rd[k]),
                 rtol=2e-5, atol=1e-6, err_msg=k,
             )
+
+
+def test_auto_column_chunk_resolution():
+    """column_chunk = -1 (AUTO) resolves to an even ~2048 split on the
+    fused kernel path, and to 'no chunking' off it; explicit values pass
+    through untouched."""
+    from spartacus_surface_tpu.models.solver import (
+        SolverOptions, _resolve_column_chunk)
+    from spartacus_surface_tpu.ops.legendre_gauss import LegendreGauss
+
+    lg = LegendreGauss(4)
+    base = dict(nreg=2, nstream=4, do_urban=True)
+    kern = dict(use_pallas_factory=True, use_pallas_sweeps=True)
+
+    # Explicit values pass through
+    assert _resolve_column_chunk(SolverOptions(**base), lg, 10**6) == 0
+    assert _resolve_column_chunk(
+        SolverOptions(**base, column_chunk=4096), lg, 10**6) == 4096
+    # AUTO off the kernel path (CPU backend here): no chunking
+    assert _resolve_column_chunk(
+        SolverOptions(**base, column_chunk=-1), lg, 10**6) == 0
+    # AUTO on the (forced) kernel path: even split near 2048
+    opt = SolverOptions(**base, **kern, column_chunk=-1)
+    assert _resolve_column_chunk(opt, lg, 2048) == 0      # fits one chunk
+    assert _resolve_column_chunk(opt, lg, 16384) == 2048  # 8 even chunks
+    ck = _resolve_column_chunk(opt, lg, 5000)             # 3 chunks of 1667
+    assert ck == 1667 and -(-5000 // ck) == 3
