@@ -986,21 +986,31 @@ def _sw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     aux = PS._pad_b(aux, pad)
     grd_dn = bv(zcos_cs[..., None], 1.0)
 
+    # BOTH normalizations in one fused kernel pass: each layer's operators
+    # and stacks are read from HBM once instead of once per normalization.
+    (outs_dir_bl, outs_diff_bl), (fin_dir, fin_diff) = PS.sw_down_sweep_both(
+        lt(lay["R"]), lt(lay["T"]), lt(lay["E"]), lt(lay["Sdn"]),
+        lt(lay["int_dir"]), lt(lay["int_diff"]), lt(lay["int_dir_diff"]),
+        stacks, vov, aux, grd_dn,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+        do_urban=opt.do_urban, with_profiles=with_profiles,
+        interpret=interp, tiled=tiled,
+    )
+
     def run_sweep(with_direct):
-        outs_bl, fin = PS.sw_down_sweep(
-            lt(lay["R"]), lt(lay["T"]), lt(lay["E"]), lt(lay["Sdn"]),
-            lt(lay["int_dir"]), lt(lay["int_diff"]), lt(lay["int_dir_diff"]),
-            stacks, vov, aux, grd_dn,
-            nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
-            with_direct=with_direct, do_urban=opt.do_urban,
-            with_profiles=with_profiles, interpret=interp, tiled=tiled,
+        outs_bl, fin = (
+            (outs_dir_bl, fin_dir) if with_direct else (outs_diff_bl, fin_diff)
         )
         outs = {
             k: v[:B].reshape(C, S, L).transpose(0, 2, 1)
             for k, v in outs_bl.items()
         }
-        dn_dir_fin = fin[:B, :nreg].reshape(C, S, nreg)
-        dn_diff_fin = fin[:B, nreg:].reshape(C, S, nd)
+        if with_direct:
+            dn_dir_fin = fin[:B, :nreg].reshape(C, S, nreg)
+            dn_diff_fin = fin[:B, nreg:].reshape(C, S, nd)
+        else:
+            dn_dir_fin = jnp.zeros((C, S, nreg), dtype)
+            dn_diff_fin = fin[:B].reshape(C, S, nd)
         return outs, dn_dir_fin, dn_diff_fin
 
     # Clear-sky direct recurrence in closed form
@@ -1189,14 +1199,20 @@ def _lw_pallas_path(inp: CanopyInputs, opt: SolverOptions, lg: LegendreGauss,
     ).reshape(B, L, nreg + nod + 7)
     aux = PS._pad_b(aux, pad)
 
+    # Both LW sweeps (internal, then incoming) in one fused kernel pass
+    # (see the SW twin): operators/stacks read from HBM once.
+    (outs_int_bl, outs_norm_bl), (fin_int, fin_norm) = PS.lw_down_sweep_both(
+        lt(lay["R"]), lt(lay["T"]), lt(lay["p"]),
+        lt(lay["int_diff"]), lt(lay["int_source"]),
+        stacks, vov, aux,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+        do_urban=opt.do_urban, with_profiles=with_profiles,
+        interpret=interp, tiled=tiled,
+    )
+
     def run_sweep(with_source):
-        outs_bl, fin = PS.lw_down_sweep(
-            lt(lay["R"]), lt(lay["T"]), lt(lay["p"]),
-            lt(lay["int_diff"]), lt(lay["int_source"]),
-            stacks, vov, aux,
-            nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
-            with_source=with_source, do_urban=opt.do_urban,
-            with_profiles=with_profiles, interpret=interp, tiled=tiled,
+        outs_bl, fin = (
+            (outs_int_bl, fin_int) if with_source else (outs_norm_bl, fin_norm)
         )
         outs = {
             k: v[:B].reshape(C, S, L).transpose(0, 2, 1)
@@ -1587,22 +1603,26 @@ def _pad_columns(inp: CanopyInputs, pad: int) -> CanopyInputs:
 _AUTO_COLUMN_CHUNK = 2048
 
 
-def _resolve_column_chunk(opt: SolverOptions, lg, C: int) -> int:
-    """Resolve the column_chunk sentinel: -1 = AUTO picks an even ~2048
-    split on the fused kernel path, no chunking elsewhere."""
+def _resolve_column_chunk(opt: SolverOptions, lg, C: int, S: int = 1) -> int:
+    """Resolve the column_chunk sentinel: -1 = AUTO picks an even split
+    near the measured optimum on the fused kernel path, no chunking
+    elsewhere.  The optimum is ~2048 columns for few-band runs and ~8k
+    flattened C*S batch elements for multiband (v5e, round 4: rami5's
+    62-layer x 14-band shape runs 4.2k cols/s unchunked, 6.1k at
+    512-column chunks; 2048/8 = 2.18M vs 1.70M on the 1-band headline)."""
     ck = opt.column_chunk
     if ck != -1:
         return ck
-    if (C <= _AUTO_COLUMN_CHUNK
-            or not (_use_pallas(opt) and _use_pallas_sweeps(opt, lg))):
+    target = min(_AUTO_COLUMN_CHUNK, max(1, 8192 // max(S, 1)))
+    if C <= target or not (_use_pallas(opt) and _use_pallas_sweeps(opt, lg)):
         return 0
-    n_chunks = -(-C // _AUTO_COLUMN_CHUNK)
+    n_chunks = -(-C // target)
     return -(-C // n_chunks)
 
 
 def _chunked_solve(impl, inp, opt, lg, with_profiles):
     C = inp.dz.shape[0]
-    ck = _resolve_column_chunk(opt, lg, C)
+    ck = _resolve_column_chunk(opt, lg, C, inp.air_ext.shape[-1])
     if not ck or C <= ck:
         return impl(inp, opt, lg, with_profiles)
     pad = (-C) % ck

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_layer import LANES, SUBLANES, TILE
+from .pallas_layer import LANES, SUBLANES, TILE, _View
 
 
 # ----------------------------------------------------------------------
@@ -230,12 +230,39 @@ def _sw_up_kernel(nd, ns, nreg, nlay, hw,
 # clear-sky/sunlit bookkeeping which lives outside the kernel)
 # ----------------------------------------------------------------------
 
-def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
-                    with_profiles, out_rows,
+def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, modes, do_urban,
+                    with_profiles, out_rows_list,
                     R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd,
                     outs, fin,
-                    DDIR, DDIF, DBD, DBF, UPB, DDN, REF, WRK, DNN, UPA,
+                    DDIRS, DDIFS, DBD, DBF, UPB, DDN, REF, WRK, DNN, UPA,
                     IFD, IFR, rec):
+    """Runs one or two normalizations (modes = tuple of with_direct flags)
+    SEQUENTIALLY per grid step: the second mode reuses this step's
+    already-resident layer operators, so fusing the direct and diffuse
+    sweeps halves the down-phase HBM read traffic.  Each mode owns its own
+    carry scratch (DDIRS/DDIFS slices); the temporaries are reused — every
+    temp a mode reads is written earlier in the SAME mode (the gating
+    mirrors the single-mode kernel exactly)."""
+    off_out = 0
+    off_fin = 0
+    for mode_i, with_direct in enumerate(modes):
+        _sw_down_mode(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct,
+                      do_urban, with_profiles, out_rows_list[mode_i],
+                      off_out, off_fin,
+                      R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd,
+                      outs, fin,
+                      _View(DDIRS, mode_i * nreg), _View(DDIFS, mode_i * nd),
+                      DBD, DBF, UPB, DDN, REF, WRK, DNN, UPA, IFD, IFR, rec)
+        off_out += len(out_rows_list[mode_i])
+        off_fin += (nreg + nd) if with_direct else nd
+
+
+def _sw_down_mode(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
+                  with_profiles, out_rows, off_out, off_fin,
+                  R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd,
+                  outs, fin,
+                  DDIR, DDIF, DBD, DBF, UPB, DDN, REF, WRK, DNN, UPA,
+                  IFD, IFR, rec):
     nregp = nreg + 1
     nd2 = nregp * ns
     nod = max(nreg - 1, 1)
@@ -380,7 +407,7 @@ def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
         row["flux_up_layer_base"] = sub
 
     for i, name in enumerate(out_rows):
-        outs[i] = row[name]
+        outs[off_out + i] = row[name]
 
     # Commit carries; final carry -> fin at the last (bottom) layer
     if with_direct:
@@ -389,8 +416,11 @@ def _sw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_direct, do_urban,
 
     @pl.when(l == nlay - 1)
     def _fin():
-        _cp(fin, 0, DDIR, 0, nreg)
-        _cp(fin, nreg, DDIF, 0, nd)
+        if with_direct:
+            _cp(fin, off_fin, DDIR, 0, nreg)
+            _cp(fin, off_fin + nreg, DDIF, 0, nd)
+        else:
+            _cp(fin, off_fin, DDIF, 0, nd)
 
 
 # ----------------------------------------------------------------------
@@ -500,11 +530,30 @@ def _lw_up_kernel(nd, ns, nreg, nlay, hw,
 # Longwave down-sweep (radsurf_urban_lw.F90:639-858)
 # ----------------------------------------------------------------------
 
-def _lw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_source, do_urban,
-                    with_profiles, out_rows,
+def _lw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, modes, do_urban,
+                    with_profiles, out_rows_list,
                     R, T, p, idif, isrc, stacks, vov, aux,
                     outs, fin,
-                    DN, DBF, UPB, WRK, DNN, UPA, IFL, rec):
+                    DNS, DBF, UPB, WRK, DNN, UPA, IFL, rec):
+    """One or two source modes sequentially per grid step (see
+    _sw_down_kernel): fusing the internal and incoming sweeps halves the
+    LW down-phase HBM read traffic."""
+    off_out = 0
+    for mode_i, with_source in enumerate(modes):
+        _lw_down_mode(nd, ns, nreg, nlay, hw, rmu, rtan, with_source,
+                      do_urban, with_profiles, out_rows_list[mode_i],
+                      off_out, mode_i * nd,
+                      R, T, p, idif, isrc, stacks, vov, aux, outs, fin,
+                      _View(DNS, mode_i * nd),
+                      DBF, UPB, WRK, DNN, UPA, IFL, rec)
+        off_out += len(out_rows_list[mode_i])
+
+
+def _lw_down_mode(nd, ns, nreg, nlay, hw, rmu, rtan, with_source, do_urban,
+                  with_profiles, out_rows, off_out, off_fin,
+                  R, T, p, idif, isrc, stacks, vov, aux,
+                  outs, fin,
+                  DN, DBF, UPB, WRK, DNN, UPA, IFL, rec):
     nregp = nreg + 1
     nd2 = nregp * ns
     nod = max(nreg - 1, 1)
@@ -605,13 +654,13 @@ def _lw_down_kernel(nd, ns, nreg, nlay, hw, rmu, rtan, with_source, do_urban,
         row["flux_up_layer_base"] = jnp.sum(UPA[pl.ds(0, nd)], axis=0)
 
     for i, name in enumerate(out_rows):
-        outs[i] = row[name]
+        outs[off_out + i] = row[name]
 
     _cp(DN, 0, DNN, 0, nd)
 
     @pl.when(l == nlay - 1)
     def _fin():
-        _cp(fin, 0, DN, 0, nd)
+        _cp(fin, off_fin, DN, 0, nd)
 
 
 # ----------------------------------------------------------------------
@@ -787,19 +836,17 @@ def sw_up_sweep(R, T, E, Sup, Sdn, uov, vov, ralb, ralbd, grd, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "with_direct",
+    static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "modes",
                      "do_urban", "with_profiles", "interpret", "tiled"),
 )
-def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
-                  nd, ns, nreg, hw, rmu, rtan, with_direct, do_urban,
+def _sw_down_call(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
+                  nd, ns, nreg, hw, rmu, rtan, modes, do_urban,
                   with_profiles, interpret=False, tiled=False):
-    """Downward flux sweep (top to bottom).  aux [B, L, rows] packs
-    [f_wall(nreg) | od(max(nreg-1,1)) | ab_coef | vb_coef | wall_albedo];
-    grd [B, 1] = [cos_sza].  Returns ({name: [B, L]}, fin [B, nreg + nd])
-    where fin = [dn_dir | dn_diff] below the lowest layer.
-
-    tiled=True: R..idd and stacks arrive as raw tiles [nb, L, rows, 8, 128]
-    (factory outputs / tiled up-sweep stacks) — no relayout."""
+    """Shared implementation of the SW down sweep for one or two
+    normalizations (modes = tuple of with_direct flags).  With both modes
+    the second runs in the SAME grid step against the already-resident
+    layer operators, halving the down-phase HBM read traffic.  Returns
+    (out_dicts tuple, fins tuple)."""
     if tiled:
         nb, L = R.shape[:2]
         B = nb * TILE
@@ -812,12 +859,16 @@ def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
     rows_st = sw_stack_rows(nd, ns, nreg)
     nod = max(nreg - 1, 1)
     rows_aux = nreg + nod + 3
-    out_rows = sw_out_rows(with_direct, do_urban, nreg, with_profiles)
-    n_out = len(out_rows)
+    out_rows_list = tuple(
+        sw_out_rows(wd, do_urban, nreg, with_profiles) for wd in modes
+    )
+    n_out = sum(len(r) for r in out_rows_list)
+    fin_rows = sum((nreg + nd) if wd else nd for wd in modes)
+    nmodes = len(modes)
 
     kernel = functools.partial(
-        _sw_down_kernel, nd, ns, nreg, L, hw, rmu, rtan, with_direct,
-        do_urban, with_profiles, out_rows,
+        _sw_down_kernel, nd, ns, nreg, L, hw, rmu, rtan, modes,
+        do_urban, with_profiles, out_rows_list,
     )
     outs, fin = pl.pallas_call(
         kernel,
@@ -829,13 +880,14 @@ def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
             _lspec(rows_st, L), _lspec((nreg + 1) * nreg, L),
             _lspec(rows_aux, L), _bspec(1),
         ],
-        out_specs=(_lspec(n_out, L), _bspec(nreg + nd)),
+        out_specs=(_lspec(n_out, L), _bspec(fin_rows)),
         out_shape=(
             jax.ShapeDtypeStruct((nb, L, n_out, SUBLANES, LANES), dtype),
-            jax.ShapeDtypeStruct((nb, nreg + nd, SUBLANES, LANES), dtype),
+            jax.ShapeDtypeStruct((nb, fin_rows, SUBLANES, LANES), dtype),
         ),
         scratch_shapes=[
-            _scr(nreg, dtype), _scr(nd, dtype), _scr(nreg + 1, dtype),
+            _scr(nmodes * nreg, dtype), _scr(nmodes * nd, dtype),
+            _scr(nreg + 1, dtype),
             _scr(nd2, dtype), _scr(nd2, dtype), _scr(nreg, dtype),
             _scr(nd, dtype), _scr(nd, dtype), _scr(nd, dtype),
             _scr(nd, dtype), _scr(nd, dtype), _scr(nreg, dtype),
@@ -849,9 +901,60 @@ def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
         bigt(stacks), _tiles_l(vov), _tiles_l(aux), _tiles(grd),
     )
     outs = _untiles_l(outs)
-    # Reversed layer indexing in the kernel already restored original order
-    out_dict = {name: outs[:, :, i] for i, name in enumerate(out_rows)}
-    return out_dict, _untiles(fin)
+    fin = _untiles(fin)
+    out_dicts = []
+    fins = []
+    off_out = off_fin = 0
+    for wd, out_rows in zip(modes, out_rows_list):
+        out_dicts.append({
+            name: outs[:, :, off_out + i] for i, name in enumerate(out_rows)
+        })
+        w = (nreg + nd) if wd else nd
+        fins.append(fin[:, off_fin:off_fin + w])
+        off_out += len(out_rows)
+        off_fin += w
+    return tuple(out_dicts), tuple(fins)
+
+
+def sw_down_sweep(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd, *,
+                  nd, ns, nreg, hw, rmu, rtan, with_direct, do_urban,
+                  with_profiles, interpret=False, tiled=False):
+    """Downward flux sweep (top to bottom), single normalization.  aux
+    [B, L, rows] packs [f_wall(nreg) | od(max(nreg-1,1)) | ab_coef |
+    vb_coef | wall_albedo]; grd [B, 1] = [cos_sza].  Returns
+    ({name: [B, L]}, fin) where fin = [dn_dir | dn_diff] ([dn_diff] when
+    not with_direct) below the lowest layer.
+
+    tiled=True: R..idd and stacks arrive as raw tiles [nb, L, rows, 8, 128]
+    (factory outputs / tiled up-sweep stacks) — no relayout."""
+    out_dicts, fins = _sw_down_call(
+        R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+        modes=(with_direct,), do_urban=do_urban,
+        with_profiles=with_profiles, interpret=interpret, tiled=tiled,
+    )
+    fin = fins[0]
+    if not with_direct:
+        # Preserve the historical [nreg + nd] fin layout (zero dn_dir)
+        fin = jnp.concatenate(
+            [jnp.zeros((fin.shape[0], nreg), fin.dtype), fin], axis=1
+        )
+    return out_dicts[0], fin
+
+
+def sw_down_sweep_both(R, T, E, Sdn, idir, idif, idd, stacks, vov, aux,
+                       grd, *, nd, ns, nreg, hw, rmu, rtan, do_urban,
+                       with_profiles, interpret=False, tiled=False):
+    """BOTH normalizations (direct then diffuse) in one fused pass: every
+    layer's operators and interface stacks are read from HBM once instead
+    of twice.  Returns ((outs_dir, outs_diff), (fin_dir, fin_diff)) with
+    fin_dir = [dn_dir | dn_diff] and fin_diff = [dn_diff]."""
+    return _sw_down_call(
+        R, T, E, Sdn, idir, idif, idd, stacks, vov, aux, grd,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+        modes=(True, False), do_urban=do_urban,
+        with_profiles=with_profiles, interpret=interpret, tiled=tiled,
+    )
 
 
 @functools.partial(
@@ -911,17 +1014,14 @@ def lw_up_sweep(R, T, p, uov, vov, reps, remit, exposed, grd, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "with_source",
+    static_argnames=("nd", "ns", "nreg", "hw", "rmu", "rtan", "modes",
                      "do_urban", "with_profiles", "interpret", "tiled"),
 )
-def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
-                  nd, ns, nreg, hw, rmu, rtan, with_source, do_urban,
+def _lw_down_call(R, T, p, idif, isrc, stacks, vov, aux, *,
+                  nd, ns, nreg, hw, rmu, rtan, modes, do_urban,
                   with_profiles, interpret=False, tiled=False):
-    """LW downward flux sweep.  aux [B, L, rows] packs [f_wall(nreg) |
-    od(max(nreg-1,1)) | ab | vb | weps | sub_air | sub_vegair | sub_veg |
-    sub_wall].  Returns ({name: [B, L]}, dn_fin [B, nd]).
-
-    tiled=True: R/T/p/idif/isrc and stacks arrive as raw tiles."""
+    """Shared LW down-sweep implementation for one or two source modes
+    (see _sw_down_call).  Returns (out_dicts tuple, dn_fins tuple)."""
     if tiled:
         nb, L = R.shape[:2]
         B = nb * TILE
@@ -934,12 +1034,15 @@ def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
     rows_st = lw_stack_rows(nd, ns, nreg)
     nod = max(nreg - 1, 1)
     rows_aux = nreg + nod + 7
-    out_rows = lw_out_rows(do_urban, nreg, with_profiles)
-    n_out = len(out_rows)
+    out_rows_list = tuple(
+        lw_out_rows(do_urban, nreg, with_profiles) for _ in modes
+    )
+    n_out = sum(len(r) for r in out_rows_list)
+    nmodes = len(modes)
 
     kernel = functools.partial(
-        _lw_down_kernel, nd, ns, nreg, L, hw, rmu, rtan, with_source,
-        do_urban, with_profiles, out_rows,
+        _lw_down_kernel, nd, ns, nreg, L, hw, rmu, rtan, modes,
+        do_urban, with_profiles, out_rows_list,
     )
     outs, fin = pl.pallas_call(
         kernel,
@@ -950,13 +1053,13 @@ def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
             _lspec(rows_st, L), _lspec((nreg + 1) * nreg, L),
             _lspec(rows_aux, L),
         ],
-        out_specs=(_lspec(n_out, L), _bspec(nd)),
+        out_specs=(_lspec(n_out, L), _bspec(nmodes * nd)),
         out_shape=(
             jax.ShapeDtypeStruct((nb, L, n_out, SUBLANES, LANES), dtype),
-            jax.ShapeDtypeStruct((nb, nd, SUBLANES, LANES), dtype),
+            jax.ShapeDtypeStruct((nb, nmodes * nd, SUBLANES, LANES), dtype),
         ),
         scratch_shapes=[
-            _scr(nd, dtype), _scr(nd2, dtype), _scr(nd2, dtype),
+            _scr(nmodes * nd, dtype), _scr(nd2, dtype), _scr(nd2, dtype),
             _scr(nd, dtype), _scr(nd, dtype), _scr(nd, dtype),
             _scr(nd, dtype), _scr(1, dtype),
         ],
@@ -968,5 +1071,46 @@ def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
         bigt(stacks), _tiles_l(vov), _tiles_l(aux),
     )
     outs = _untiles_l(outs)
-    out_dict = {name: outs[:, :, i] for i, name in enumerate(out_rows)}
-    return out_dict, _untiles(fin)
+    fin = _untiles(fin)
+    out_dicts = []
+    fins = []
+    off_out = 0
+    for mode_i, out_rows in enumerate(out_rows_list):
+        out_dicts.append({
+            name: outs[:, :, off_out + i] for i, name in enumerate(out_rows)
+        })
+        fins.append(fin[:, mode_i * nd:(mode_i + 1) * nd])
+        off_out += len(out_rows)
+    return tuple(out_dicts), tuple(fins)
+
+
+def lw_down_sweep(R, T, p, idif, isrc, stacks, vov, aux, *,
+                  nd, ns, nreg, hw, rmu, rtan, with_source, do_urban,
+                  with_profiles, interpret=False, tiled=False):
+    """LW downward flux sweep, single source mode.  aux [B, L, rows] packs
+    [f_wall(nreg) | od(max(nreg-1,1)) | ab | vb | weps | sub_air |
+    sub_vegair | sub_veg | sub_wall].  Returns ({name: [B, L]},
+    dn_fin [B, nd]).
+
+    tiled=True: R/T/p/idif/isrc and stacks arrive as raw tiles."""
+    out_dicts, fins = _lw_down_call(
+        R, T, p, idif, isrc, stacks, vov, aux,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+        modes=(with_source,), do_urban=do_urban,
+        with_profiles=with_profiles, interpret=interpret, tiled=tiled,
+    )
+    return out_dicts[0], fins[0]
+
+
+def lw_down_sweep_both(R, T, p, idif, isrc, stacks, vov, aux, *,
+                       nd, ns, nreg, hw, rmu, rtan, do_urban,
+                       with_profiles, interpret=False, tiled=False):
+    """BOTH LW sweeps (internal emission, then incoming) in one fused
+    pass: layer operators and stacks read from HBM once instead of twice.
+    Returns ((outs_internal, outs_norm), (dn_fin_internal, dn_fin_norm))."""
+    return _lw_down_call(
+        R, T, p, idif, isrc, stacks, vov, aux,
+        nd=nd, ns=ns, nreg=nreg, hw=hw, rmu=rmu, rtan=rtan,
+        modes=(True, False), do_urban=do_urban,
+        with_profiles=with_profiles, interpret=interpret, tiled=tiled,
+    )

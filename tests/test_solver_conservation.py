@@ -226,3 +226,6 @@ def test_auto_column_chunk_resolution():
     assert _resolve_column_chunk(opt, lg, 16384) == 2048  # 8 even chunks
     ck = _resolve_column_chunk(opt, lg, 5000)             # 3 chunks of 1667
     assert ck == 1667 and -(-5000 // ck) == 3
+    # Multiband: target shrinks to ~8192 flattened batch elements
+    assert _resolve_column_chunk(opt, lg, 1024, S=14) == 512  # 2 x 512
+    assert _resolve_column_chunk(opt, lg, 512, S=14) == 0     # fits one
