@@ -243,9 +243,9 @@ def solve_work_model(nreg, ns, L, K_mean=3.0, lw=True):
         per_layer = (
             2 * g_rows          # gammas: write by XLA prep + read by factory
             + op_rows           # factory writes ops
-            + 3 * op_rows       # up + 2 down sweeps read ops
-            + 2 * stack_rows    # up writes stacks, downs read them
-            + 30                # per-layer outputs (~15 fields x 2 sweeps)
+            + 2 * op_rows       # up sweep + ONE fused down pass read ops
+            + 2 * stack_rows    # up writes stacks, the fused down reads them
+            + 30                # per-layer outputs (~15 fields x 2 modes)
         )
         return 4.0 * per_layer
     hbm = band_bytes(nd, ndir, True) * L
