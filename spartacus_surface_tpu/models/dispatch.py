@@ -244,12 +244,17 @@ def _pad_group(payload, n: int, npad: int):
     return jax.tree_util.tree_map(f, payload)
 
 
-@functools.partial(jax.jit, static_argnames=("plan", "shape"))
-def _radsurf_core(payloads, plan, shape):
+@functools.partial(jax.jit, static_argnames=("plan", "shape", "mesh"))
+def _radsurf_core(payloads, plan, shape, mesh=None):
     """The fused dispatcher: one compilation unit for every tile group.
 
     plan: static tuple of group specs; payloads: matching tuple of traced
-    input pytrees (already padded/sharded by the caller).
+    input pytrees (already padded/sharded by the caller); mesh: when
+    given, the layered-solver groups run under jax.shard_map over the
+    column axis, so column chunking (SolverOptions.column_chunk,
+    including AUTO) applies PER SHARD — each device streams its own
+    ~2k-column chunks, keeping both the chunking throughput win and the
+    bounded-HBM property of unsharded runs.
     """
     (ncol, nlay, nsw, nlw, do_sw, do_lw, with_profiles, dtype_str) = shape
     dtype = np.dtype(dtype_str)
@@ -292,9 +297,28 @@ def _radsurf_core(payloads, plan, shape):
 
         elif kind == "spartacus":
             _, n, opt_sw, opt_lw, lg_sw, lg_lw = spec
+
+            def solve(fn, opt, lg):
+                if mesh is None:
+                    return lambda a: fn(a, opt, lg,
+                                        with_profiles=with_profiles)
+                from jax.sharding import PartitionSpec as P
+
+                # Per-shard execution: every [C, ...] leaf is split over
+                # the column axis; the solver (and its column_chunk
+                # streaming) runs independently per device.
+                # check_vma off: scan carries start from replicated
+                # zeros, which the varying-axis analysis rejects; the
+                # solver is collective-free so the check buys nothing.
+                return jax.shard_map(
+                    lambda a: fn(a, opt, lg, with_profiles=with_profiles),
+                    mesh=mesh, in_specs=P("columns"),
+                    out_specs=P("columns"), check_vma=False,
+                )
+
             if do_sw:
-                ndir, ndiff, sbc = spartacus_sw(
-                    pl["sw"], opt_sw, lg_sw, with_profiles=with_profiles
+                ndir, ndiff, sbc = solve(spartacus_sw, opt_sw, lg_sw)(
+                    pl["sw"]
                 )
                 sun_up = pl["cos_sza"][:n] > 0.0
                 _scatter(out["sw_norm_dir"], ndir, idx, n, sun_up)
@@ -304,8 +328,8 @@ def _radsurf_core(payloads, plan, shape):
                 bc["sw_albedo_dir"] = bc["sw_albedo_dir"].at[idx].set(
                     sbc["top_albedo_dir"][:n])
             if do_lw:
-                lint, lnorm, lbc = spartacus_lw(
-                    pl["lw"], opt_lw, lg_lw, with_profiles=with_profiles
+                lint, lnorm, lbc = solve(spartacus_lw, opt_lw, lg_lw)(
+                    pl["lw"]
                 )
                 _scatter(out["lw_internal"], lint, idx, n)
                 _scatter(out["lw_norm"], lnorm, idx, n)
@@ -408,12 +432,6 @@ def run_radsurf(config: Config, arrays: dict, mesh=None):
         if not idx.size:
             continue
         n = int(idx.size)
-        if not opt_kw["column_chunk"] and mesh is None:
-            # AUTO chunking (solver._resolve_column_chunk): a measured perf
-            # win on the fused kernel path for large unsharded batches.
-            # Never under a mesh — the chunk reshape would split the
-            # sharded column axis.
-            opt_kw = {**opt_kw, "column_chunk": -1}
         pl = {"cos_sza": np.asarray(arrays["cos_sza"])[idx]}
         opt_sw = opt_lw = None
         if config.do_sw:
@@ -496,4 +514,4 @@ def run_radsurf(config: Config, arrays: dict, mesh=None):
              config.nlwinternal if config.do_lw else 0,
              bool(config.do_sw), bool(config.do_lw),
              bool(config.do_save_flux_profile), str(dtype))
-    return _radsurf_core(tuple(payloads), tuple(plan), shape)
+    return _radsurf_core(tuple(payloads), tuple(plan), shape, mesh=mesh)

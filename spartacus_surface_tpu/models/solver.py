@@ -218,9 +218,10 @@ class SolverOptions:
     # WIN on the fused kernel path (~2k-column chunks keep the transient
     # operator stacks streaming instead of thrashing HBM: v5e headline
     # 1.70M -> 2.18M cols/s, nreg=3 744k -> 818k), which is what AUTO
-    # exploits.  Do not use AUTO with inputs sharded over a mesh: the
-    # chunk reshape would split the sharded column axis (run_radsurf
-    # resolves AUTO only for unsharded runs).
+    # exploits.  Under a mesh, run_radsurf executes the solver inside
+    # jax.shard_map, so the chunk reshape (and AUTO resolution) sees the
+    # per-device LOCAL batch — chunking composes with sharding instead
+    # of being disabled by it.
     column_chunk: int = 0
 
 

@@ -64,13 +64,16 @@ class Config:
     # terms, ~1e9).
     n_double: int = 30
 
-    # Solve in column chunks of this size (0 = whole batch at once): the
-    # TPU-native generalization of the reference driver's `nblocksize`
-    # OpenMP blocking (driver/spartacus_surface_config.F90:24-25) — here it
-    # bounds the on-chip HBM working set so 1M+ column datasets fit on one
-    # chip.  Namelist-extension parameter; also settable via the CLI
-    # --column-chunk flag.
-    column_chunk: int = 0
+    # Solve in column chunks of this size: the TPU-native generalization
+    # of the reference driver's `nblocksize` OpenMP blocking
+    # (driver/spartacus_surface_config.F90:24-25) — it bounds the on-chip
+    # HBM working set so 1M+ column datasets fit on one chip, and ~2k
+    # chunks are a measured throughput WIN on the fused kernel path.
+    # -1 (default) = AUTO (pick the measured optimum, per shard when the
+    # run is sharded over a mesh); 0 = no chunking (whole batch in one
+    # pass); N > 0 = explicit chunk size.  Namelist-extension parameter;
+    # also settable via the CLI --column-chunk flag.
+    column_chunk: int = -1
 
     # Band weights for splitting the sigma*T^4 Planck emission across
     # nlw > 1 longwave bands (namelist extension, e.g.
