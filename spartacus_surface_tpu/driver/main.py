@@ -43,11 +43,19 @@ def build_argparser():
              "GPROF equivalents, Makefile_include.gfortran:40-43)",
     )
     p.add_argument(
+        "--timings", action="store_true",
+        help="Print per-phase wall times (read_input / radsurf / save) at"
+             " exit — the region timers of --profile without the trace"
+             " capture",
+    )
+    p.add_argument(
         "--column-chunk", type=int, default=None, metavar="N",
         help="Solve in column chunks of N (bounds the accelerator HBM"
              " working set for very large inputs; the TPU analogue of the"
-             " reference's nblocksize OpenMP blocking). Default: whole"
-             " batch, or the `column_chunk` namelist extension.",
+             " reference's nblocksize OpenMP blocking). -1 = AUTO (the"
+             " default, measured optimum, applied per shard under a"
+             " mesh), 0 = whole batch; overrides the `column_chunk`"
+             " namelist extension.",
     )
     p.add_argument(
         "--stream-chunk", type=int, default=None, metavar="N",
@@ -56,7 +64,10 @@ def build_argparser():
              " datasets larger than device/host memory; outputs are"
              " fetched per chunk and reassembled on the host). Differs"
              " from --column-chunk, which keeps everything device-resident"
-             " inside one program.",
+             " inside one program. Default: auto — streaming engages by"
+             " itself when ncol x nlay x nband is large enough that a"
+             " single device program would exceed the TPU's 2 GiB"
+             " per-allocation DMA addressing; 0 disables.",
     )
     p.add_argument(
         "--netcdf4", action="store_true",
@@ -102,6 +113,106 @@ def build_argparser():
     return p
 
 
+# Per-slice streaming target, in ncol x nlay x nband elements.  The hard
+# ceiling is the TPU DMA engine's int32 BYTE addressing: XLA coalesces the
+# chunk-scan's stacked output tree into one allocation of roughly
+# 32 bytes per column-layer-band, so a single device program fails its
+# bounds check near 67M elements (observed at 50k cols x 40 lay x 14 band
+# on v5e).  Streaming begins at ~1/6 of that and slices at ~1/11, keeping
+# each slice's working set far from the cliff while leaving small runs
+# (e.g. 1M cols x 8 lay x 1 band) in the faster single-program path.
+_STREAM_SLICE_ELEMS = 6_000_000
+
+
+def _auto_stream_chunk(config, arrays, ncol: int) -> int:
+    """Pick a streaming chunk (0 = stream not needed) for very large
+    solves; prefers a chunk that divides ncol evenly so every slice hits
+    the same compiled executable (distinct shapes recompile)."""
+    nlay = arrays["dz"].shape[1]
+    nband = max(config.nswinternal if config.do_sw else 1,
+                config.nlwinternal if config.do_lw else 1)
+    elems = ncol * nlay * nband
+    if elems <= 2 * _STREAM_SLICE_ELEMS:
+        return 0
+    n_min = -(-elems // _STREAM_SLICE_ELEMS)
+    n_slices = next(
+        (n for n in range(n_min, min(2 * n_min, ncol) + 1)
+         if ncol % n == 0),
+        n_min,
+    )
+    return -(-ncol // n_slices)
+
+
+def _stream_solve(config, data, arrays, stream_chunk, mesh):
+    """Streamed solve with DEVICE-SIDE post-processing per slice.
+
+    Scaling the two normalizations by their top-of-canopy fluxes, summing
+    them, and reducing the conservation budget to per-column vectors all
+    happen on device before the slice is fetched: the host then pulls ONE
+    summed flux container (plus [C]-sized budget vectors) instead of two
+    full normalized containers — half the device->host bytes, which
+    dominate very large runs on bandwidth-limited links.
+
+    Returns (sw_flux, lw_flux, budgets) as host arrays; budgets maps
+    "sw_dir"/"sw_diff"/"lw_int"/"lw_norm" to budget_components dicts
+    (per-unit-TOC, what the reference's conservation table shows).
+    """
+    import numpy as np
+
+    from ..models import flux_utils
+    from ..models.dispatch import run_radsurf
+    from ..parallel.streaming import stream_columns
+
+    scal = {}
+    if config.do_sw:
+        top_dir = np.asarray(data["top_flux_dn_direct_sw"])
+        scal["__top_dir_sw"] = top_dir
+        scal["__top_diff_sw"] = np.asarray(data["top_flux_dn_sw"]) - top_dir
+    if config.do_lw:
+        scal["__top_lw"] = np.asarray(data["top_flux_dn_lw"])
+    aug = dict(arrays)
+    aug.update(scal)
+
+    import jax
+
+    # One jitted program for the whole per-slice epilogue: on a relay
+    # backend every EAGER op costs a dispatch round trip, and the
+    # epilogue touches ~100 small arrays per slice.
+    @jax.jit
+    def post(res, sc, masks):
+        out = {"budget": {}}
+        if config.do_sw:
+            nd = flux_utils.scale_flux(res["sw_norm_dir"],
+                                       sc["__top_dir_sw"])
+            nf = flux_utils.scale_flux(res["sw_norm_diff"],
+                                       sc["__top_diff_sw"])
+            out["sw_flux"] = flux_utils.sum_flux(nd, nf)
+            out["budget"]["sw_dir"] = flux_utils.budget_with_masks(
+                res["sw_norm_dir"], masks)
+            out["budget"]["sw_diff"] = flux_utils.budget_with_masks(
+                res["sw_norm_diff"], masks)
+        if config.do_lw:
+            lw_norm = flux_utils.scale_flux(res["lw_norm"],
+                                            sc["__top_lw"])
+            out["lw_flux"] = flux_utils.sum_flux(res["lw_internal"],
+                                                 lw_norm)
+            out["budget"]["lw_int"] = flux_utils.budget_with_masks(
+                res["lw_internal"], masks)
+            out["budget"]["lw_norm"] = flux_utils.budget_with_masks(
+                res["lw_norm"], masks)
+        return out
+
+    def slice_solve(a):
+        sc = {key: a.pop(key) for key in scal}
+        res = run_radsurf(config, a, mesh=mesh)
+        masks = flux_utils.representation_masks(a["i_representation"])
+        return post(res, sc, masks)
+
+    streamed = stream_columns(slice_solve, aug, stream_chunk)
+    return (streamed.get("sw_flux"), streamed.get("lw_flux"),
+            streamed["budget"])
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
@@ -111,6 +222,23 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.precision == "double":
         jax.config.update("jax_enable_x64", True)
+
+    # Persistent XLA compilation cache: a repeat invocation on the same
+    # shapes skips compilation entirely (tens of seconds to minutes for
+    # the TPU solver programs — the dominant cold-start cost of a CLI
+    # run).  Opt out with SPARTACUS_COMPILE_CACHE=0; an explicit
+    # JAX_COMPILATION_CACHE_DIR wins.
+    if (os.environ.get("SPARTACUS_COMPILE_CACHE", "1") != "0"
+            and not os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.join(os.path.expanduser("~"), ".cache",
+                             "spartacus_surface_tpu", "xla"))
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
 
     # Multi-process bootstrap (must precede any backend use).  Explicit
     # flags take precedence; otherwise fall back to cluster env
@@ -134,22 +262,31 @@ def main(argv=None):
     from .read_input import read_input
     from .save import save_canopy_fluxes
 
+    def fail(msg: str) -> int:
+        """Error exit that also tears down the distributed runtime, so
+        peers blocked at the shard barrier fail fast instead of timing
+        out (they would otherwise see an opaque coordination-service
+        error 600 s later)."""
+        print(msg, file=sys.stderr)
+        if jax.process_count() > 1:
+            from ..parallel.distributed import shutdown
+
+            shutdown()
+        return 1
+
     if not os.path.exists(args.namelist):
-        print(f'*** Error: namelist file "{args.namelist}" not found',
-              file=sys.stderr)
-        return 1
+        return fail(f'*** Error: namelist file "{args.namelist}" not found')
     if not os.path.exists(args.input):
-        print(f'*** Error: input file "{args.input}" not found',
-              file=sys.stderr)
-        return 1
+        return fail(f'*** Error: input file "{args.input}" not found')
 
     config = Config.from_namelist(args.namelist)
     if args.column_chunk is not None:
         config.column_chunk = args.column_chunk
     driver_config = DriverConfig.from_namelist(args.namelist)
     iverbose = driver_config.iverbose
-    if args.profile:
+    if args.profile or args.timings:
         profiling.enabled = True
+    if args.profile:
         profiling.start_trace(args.profile)
 
     def log(*a, level=2):
@@ -169,10 +306,18 @@ def main(argv=None):
             data = read_input(args.input, config, driver_config,
                               verbose_print=log)
     except KeyError as exc:
-        print(f"*** Error reading {args.input}: {exc}", file=sys.stderr)
-        return 1
+        return fail(f"*** Error reading {args.input}: {exc}")
     arrays = data["arrays"]
     ncol = data["ncol"]
+
+    if jax.process_count() > ncol:
+        # Every process reads the same input, so all of them take this
+        # consistent error exit (no process is left at the barrier with
+        # a zero-column slice).
+        return fail(
+            f"*** Error: {jax.process_count()} processes for only {ncol}"
+            " input columns; use at most one process per column"
+        )
 
     # Multi-process execution: each host handles its own contiguous slice
     # of columns end-to-end (columns are embarrassingly parallel; the
@@ -215,13 +360,11 @@ def main(argv=None):
     if icol2 < 1 or icol2 > ncol:
         icol2 = ncol
     if icol1 > icol2:
-        print(
+        return fail(
             f"*** Error: requested column range ({icol1} to "
             f"{driver_config.iendcol}) is out of the range in the data"
-            f" (1 to {ncol})",
-            file=sys.stderr,
+            f" (1 to {ncol})"
         )
-        return 1
     if (icol1, icol2) != (1, ncol):
         sel = slice(icol1 - 1, icol2)
         for key, val in list(arrays.items()):
@@ -242,54 +385,77 @@ def main(argv=None):
             print(f"{jcol:5d}: {TILE_NAMES.get(int(code), '?')},"
                   f" {int(arrays['nlay'][jcol - 1])} layers")
 
-    sw_flux = lw_flux = None
+    if args.stream_chunk is None:
+        args.stream_chunk = _auto_stream_chunk(config, arrays, ncol)
+        if args.stream_chunk:
+            log(f"Streaming the solve in {args.stream_chunk}-column"
+                " chunks (host pipeline; see --stream-chunk)")
+
+    sw_flux = lw_flux = result = budgets = None
     tstart = time.perf_counter()
     for _ in range(max(1, driver_config.nrepeat)):
         with profiling.hook("radsurf"):
             if args.stream_chunk:
-                from ..parallel.streaming import stream_columns
-
-                result = stream_columns(
-                    lambda a: run_radsurf(config, a, mesh=mesh),
-                    arrays, args.stream_chunk,
-                )
+                sw_flux, lw_flux, budgets = _stream_solve(
+                    config, data, arrays, args.stream_chunk, mesh)
             else:
                 result = run_radsurf(config, arrays, mesh=mesh)
-        if config.do_sw:
-            sw_norm_dir = flux_utils.scale_flux(
-                result["sw_norm_dir"], data["top_flux_dn_direct_sw"]
-            )
-            sw_norm_diff = flux_utils.scale_flux(
-                result["sw_norm_diff"],
-                data["top_flux_dn_sw"] - data["top_flux_dn_direct_sw"],
-            )
-            sw_flux = flux_utils.sum_flux(sw_norm_dir, sw_norm_diff)
-        if config.do_lw:
-            lw_norm = flux_utils.scale_flux(
-                result["lw_norm"], data["top_flux_dn_lw"]
-            )
-            lw_flux = flux_utils.sum_flux(result["lw_internal"], lw_norm)
-        # Results are asynchronous device arrays; block for honest timing
-        # (the reference's omp_get_wtime brackets the complete solve).
-        jax.block_until_ready((sw_flux, lw_flux))
+        if result is not None:
+            if config.do_sw:
+                sw_norm_dir = flux_utils.scale_flux(
+                    result["sw_norm_dir"], data["top_flux_dn_direct_sw"]
+                )
+                sw_norm_diff = flux_utils.scale_flux(
+                    result["sw_norm_diff"],
+                    data["top_flux_dn_sw"] - data["top_flux_dn_direct_sw"],
+                )
+                sw_flux = flux_utils.sum_flux(sw_norm_dir, sw_norm_diff)
+            if config.do_lw:
+                lw_norm = flux_utils.scale_flux(
+                    result["lw_norm"], data["top_flux_dn_lw"]
+                )
+                lw_flux = flux_utils.sum_flux(result["lw_internal"], lw_norm)
+            # Results are asynchronous device arrays; for honest timing
+            # (the reference's omp_get_wtime brackets the complete solve)
+            # force completion by FETCHING a device scalar — on
+            # relay/async backends block_until_ready can return before
+            # execution finishes, which under-measures by orders of
+            # magnitude.  (The streamed path already returned host
+            # arrays, so nothing is pending there.)
+            import jax.numpy as jnp
+
+            leaves = jax.tree_util.tree_leaves((sw_flux, lw_flux))
+            float(sum(jnp.sum(x) for x in leaves))
     elapsed = time.perf_counter() - tstart
     log(f"Time elapsed in radiative transfer: {elapsed:g} seconds")
 
     if driver_config.do_conservation_check:
-        if config.do_sw:
-            print("Direct shortwave budget: radiation originating from"
-                  " direct solar at canopy top")
-            flux_utils.check_flux(result["sw_norm_dir"], arrays, "sw_dir")
-            print("Diffuse shortwave budget: radiation originating from"
-                  " downward diffuse solar at canopy top")
-            flux_utils.check_flux(result["sw_norm_diff"], arrays, "sw_diff")
-        if config.do_lw:
-            print("Internal longwave budget: radiation originating from"
-                  " emission within canopy")
-            flux_utils.check_flux(result["lw_internal"], arrays, "lw_int")
-            print("Incoming longwave budget: radiation originating from"
-                  " downward longwave at canopy top")
-            flux_utils.check_flux(result["lw_norm"], arrays, "lw_norm")
+        headers = {
+            "sw_dir": "Direct shortwave budget: radiation originating"
+                      " from direct solar at canopy top",
+            "sw_diff": "Diffuse shortwave budget: radiation originating"
+                       " from downward diffuse solar at canopy top",
+            "lw_int": "Internal longwave budget: radiation originating"
+                      " from emission within canopy",
+            "lw_norm": "Incoming longwave budget: radiation originating"
+                       " from downward longwave at canopy top",
+        }
+        if budgets is not None:
+            # Streamed path: budgets were reduced on device per slice.
+            # (Explicit order: pytree flattening sorts dict keys, so the
+            # streamed dict iterates alphabetically.)
+            for name in ("sw_dir", "sw_diff", "lw_int", "lw_norm"):
+                if name in budgets:
+                    print(headers[name])
+                    flux_utils.print_budget(budgets[name])
+        else:
+            for name, key in (("sw_dir", "sw_norm_dir"),
+                              ("sw_diff", "sw_norm_diff"),
+                              ("lw_int", "lw_internal"),
+                              ("lw_norm", "lw_norm")):
+                if key in (result or {}):
+                    print(headers[name])
+                    flux_utils.check_flux(result[key], arrays, name)
 
     with profiling.hook("save"):
         save_canopy_fluxes(args.output + proc_suffix, config, arrays,
@@ -312,7 +478,9 @@ def main(argv=None):
                 f" {args.output}")
     if args.profile:
         profiling.stop_trace()
+    if args.profile or args.timings:
         profiling.report()
+    if args.profile:
         log(f"Profiler trace written to {args.profile}")
     log("-----------------------------------------------------------------"
         "---------------")

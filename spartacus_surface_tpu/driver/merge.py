@@ -99,15 +99,23 @@ def find_shards(output: str, n_processes: int | None = None) -> list[str]:
         if missing:
             raise FileNotFoundError(f"missing shards: {missing}")
         return paths
-    found = sorted(glob.glob(glob.escape(output) + ".p[0-9][0-9]"))
-    if not found:
+    # Numeric sort on the rank: the driver writes p{pid:02d}, which grows
+    # to three+ digits at >= 100 processes, so neither a fixed-width glob
+    # nor a lexical sort is safe.
+    candidates = [
+        (int(m.group(1)), p)
+        for p in glob.glob(glob.escape(output) + ".p[0-9]*")
+        if (m := re.search(r"\.p(\d+)$", p))
+    ]
+    if not candidates:
         raise FileNotFoundError(f"no {output}.pNN shards found")
-    pids = [int(re.search(r"\.p(\d\d)$", p).group(1)) for p in found]
+    candidates.sort()
+    pids = [pid for pid, _ in candidates]
     if pids != list(range(len(pids))):
         raise FileNotFoundError(
             f"shard ranks are not contiguous from 0: {pids}"
         )
-    return found
+    return [p for _, p in candidates]
 
 
 def merge_shards(output: str, n_processes: int | None = None,

@@ -29,10 +29,21 @@ def _mask_layers(var, nlay):
     shallow columns; the floor of 1 matches the file's layer dimension
     (a 0-size NetCDF3 dimension would become the unlimited record dim)."""
     nmaxlay = max(int(nlay.max()), 1)
-    out = np.array(var, np.float64)[:, :nmaxlay]
+    var = np.asarray(var)
+    dt = var.dtype if var.dtype in (np.float32, np.float64) else np.float64
+    out = np.array(var, dt)[:, :nmaxlay]
     mask = np.arange(nmaxlay)[None, :] >= nlay[:, None]
     out[mask] = FILL
     return out
+
+
+def _flux_leaves(flux):
+    """Flatten a flux container (nested dicts of arrays) to its arrays."""
+    if isinstance(flux, dict):
+        for v in flux.values():
+            yield from _flux_leaves(v)
+    elif flux is not None:
+        yield flux
 
 
 def save_canopy_fluxes(path, config, arrays, flux_sw, flux_lw, iverbose=None,
@@ -127,8 +138,20 @@ def _define_and_write(out, band, long_band, flux, nlay, do_bb, do_spec,
     specdim = ("column", f"band_{band}")
     speclaydim = ("column", "layer", f"band_{band}")
 
+    # Store flux fields in the WORKING precision: a single-precision
+    # solve (the TPU production mode) carries no information beyond f32,
+    # and f64 storage would double the size and write time of
+    # production-scale outputs (50k rami5 columns: 3.7 GB -> 1.9 GB).
+    flux_char = (
+        "f"
+        if any(np.asarray(v).dtype == np.float32
+               for v in _flux_leaves(flux))
+        else "d"
+    )
+
     def dv(name, dims, **kw):
-        out.define_variable(name, dims, units="W m-2", **kw)
+        out.define_variable(name, dims, units="W m-2",
+                            dtype=kw.pop("dtype", flux_char), **kw)
 
     # Wavelength-independent variables
     if use_direct:

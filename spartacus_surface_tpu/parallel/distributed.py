@@ -37,6 +37,22 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     )
 
 
+def shutdown() -> None:
+    """Best-effort teardown of the distributed runtime.
+
+    Called on early error exits (bad input, out-of-range column
+    selection) so peer processes blocked in wait_at_barrier lose the
+    coordinator and fail fast with a disconnect error, instead of
+    sitting out the full barrier timeout and surfacing an opaque
+    coordination-service message in place of the real failure."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        jax.distributed.shutdown()
+    except Exception:
+        pass
+
+
 def barrier(name: str, timeout_s: int = 600) -> None:
     """Cross-process barrier via the coordination service.
 

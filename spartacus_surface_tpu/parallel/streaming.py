@@ -75,11 +75,9 @@ def stream_columns(solve, arrays, chunk: int, depth: int = 2):
         inflight.append(solve(chunk_in))  # async dispatch
         if len(inflight) >= depth:
             # Fetch the oldest chunk; blocks only on work enqueued >= depth
-            # chunks ago, so the device pipeline stays full.
-            parts.append(
-                jax.tree_util.tree_map(np.asarray, inflight.pop(0))
-            )
-    parts.extend(
-        jax.tree_util.tree_map(np.asarray, x) for x in inflight
-    )
+            # chunks ago, so the device pipeline stays full.  One batched
+            # device_get per chunk (not per leaf): leaf-by-leaf fetches
+            # pay a round trip each, which dominates on relay links.
+            parts.append(jax.device_get(inflight.pop(0)))
+    parts.extend(jax.device_get(x) for x in inflight)
     return _concat_leaves(parts)

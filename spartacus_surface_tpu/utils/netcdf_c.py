@@ -178,11 +178,33 @@ class NativeFile:
             _check(self._lib.nc_inq_att(self._ncid, varid, name.encode(),
                                         ctypes.byref(xtype),
                                         ctypes.byref(alen)))
-            if xtype.value in (NC_CHAR, NC_STRING):
+            if xtype.value == NC_CHAR:
                 sbuf = ctypes.create_string_buffer(alen.value + 1)
                 _check(self._lib.nc_get_att_text(
                     self._ncid, varid, name.encode(), sbuf))
                 out[name] = sbuf.raw[: alen.value].decode(errors="replace")
+            elif xtype.value == NC_STRING:
+                # Variable-length strings: nc_get_att_string fills an
+                # array of library-owned char* (freed via nc_free_string)
+                # — nc_get_att_text on these would return pointer bytes.
+                ptrs = (ctypes.c_char_p * alen.value)()
+                _check(self._lib.nc_get_att_string(
+                    self._ncid, varid, name.encode(), ptrs))
+                vals = [
+                    (p or b"").decode(errors="replace")
+                    for p in ptrs
+                ]
+                self._lib.nc_free_string(alen.value, ptrs)
+                out[name] = vals[0] if alen.value == 1 else vals
+            elif np.issubdtype(_DTYPES.get(xtype.value, np.float64),
+                               np.integer):
+                # Integer-typed attributes keep integer identity so a
+                # merge re-writes them with the same type.
+                arr = np.empty(alen.value, np.int64)
+                _check(self._lib.nc_get_att_longlong(
+                    self._ncid, varid, name.encode(),
+                    arr.ctypes.data_as(ctypes.c_void_p)))
+                out[name] = arr if arr.size > 1 else int(arr[0])
             else:
                 arr = np.empty(alen.value, np.float64)
                 _check(self._lib.nc_get_att_double(
@@ -242,11 +264,22 @@ class NativeFile:
             data = val.encode()
             _check(self._lib.nc_put_att_text(self._ncid, varid, key.encode(),
                                              len(data), data))
-        else:
-            arr = np.atleast_1d(np.asarray(val, np.float64))
-            _check(self._lib.nc_put_att_double(
-                self._ncid, varid, key.encode(), NC_DOUBLE, arr.size,
-                arr.ctypes.data_as(ctypes.c_void_p)))
+            return
+        arr = np.atleast_1d(np.asarray(val))
+        if np.issubdtype(arr.dtype, np.integer) and np.all(
+            (arr >= np.iinfo(np.int32).min) & (arr <= np.iinfo(np.int32).max)
+        ):
+            # Keep integer attributes integer (classic-format-safe NC_INT)
+            # so merged shards round-trip the source type.
+            iarr = np.ascontiguousarray(arr, np.int32)
+            _check(self._lib.nc_put_att_int(
+                self._ncid, varid, key.encode(), NC_INT, iarr.size,
+                iarr.ctypes.data_as(ctypes.c_void_p)))
+            return
+        farr = np.ascontiguousarray(arr, np.float64)
+        _check(self._lib.nc_put_att_double(
+            self._ncid, varid, key.encode(), NC_DOUBLE, farr.size,
+            farr.ctypes.data_as(ctypes.c_void_p)))
 
     def end_define(self):
         if not self._defined:

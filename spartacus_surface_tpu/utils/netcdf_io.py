@@ -92,7 +92,11 @@ class OutputFile:
             self._f = None
         else:
             self._native = None
-            self._f = netcdf_file(path, "w")
+            # version=2 = NetCDF3 with 64-bit offsets: identical headers
+            # and data layout, but variables may start beyond 2 GiB —
+            # production-scale outputs (10^5+ columns of spectral
+            # profiles) overflow the version-1 int32 'begin' fields.
+            self._f = netcdf_file(path, "w", version=2)
 
     def define_dimension(self, name: str, size: int):
         if self._native is not None:
