@@ -89,14 +89,16 @@ SIMPLE_CASES = ("surfaces", "consistency", "empty_layers",
 # Empty/nearly-empty layers put region fractions at/below the excision
 # threshold, where pyref removes the region from the system (a dimension
 # change, like the reference) while the production dense-masked design
-# zeroes its couplings — an intentional, documented O(1e-4)-relative
-# divergence in the ABSORPTION fields of those layers (same rationale as
-# test_property_fuzz's strategy note; conservation-fuzzing covers the
-# regime).  Absorption there is a residual of large cancellations, so the
-# grant is on the fields that integrate through the near-singular Gamma
-# inverse; every flux/bc field keeps the global 1e-5.
-EMPTY_RTOL_FIELDS = {"clear_air_abs": 2e-3, "veg_air_abs": 2e-3,
-                     "veg_abs": 2e-3, "wall_in": 2e-3, "wall_net": 2e-3}
+# zeroes its couplings — an intentional, documented divergence in the
+# ABSORPTION of those layers (same rationale as test_property_fuzz's
+# strategy note; conservation-fuzzing covers the regime).  The grant is
+# MEASURED, not guessed: tools/derive_empty_tolerances.py runs both
+# routes in f64 on the two cases and prints this table (worst observed
+# relative error x3 headroom, rounded up; currently clear_air_abs at
+# 4.9e-4 observed — the one field integrated through the near-singular
+# Gamma inverse whose residual survives; veg/wall absorption measured at
+# <= 1.5e-6 and so keeps the global 1e-5).
+EMPTY_RTOL_FIELDS = {"clear_air_abs": 1.5e-3}
 
 
 @pytest.mark.parametrize("case", SIMPLE_CASES)
