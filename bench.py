@@ -9,6 +9,8 @@ Prints one JSON line per block, the HEADLINE metric LAST:
   {"metric": "cli_end_to_end_columns_per_sec", ...}  the SHIPPED program:
       driver CLI on a 50k-column rami5 scene on hardware, read->solve->
       save, conservation-gated, output schema-checked
+  {"metric": "grad_step_columns_per_sec_per_chip", ...}  full
+      value-and-gradient (retrieval/adjoint) step throughput
   {"metric": "capacity_1M_columns_per_sec_per_chip", ...}
   {"metric": "columns_per_sec_per_chip_sw_lw_urban8lay", "value": N,
    "unit": "columns/s/chip", "vs_baseline": N}    headline (round-over-round)
@@ -373,6 +375,45 @@ def main() -> int:
         }))
 
     ok["cli"] = _block(cli_blk, "cli_end_to_end_columns_per_sec")
+
+    # --- backward pass: full forward+gradient step throughput ------------
+    def grad_blk():
+        import jax.numpy as jnp
+
+        Cg = 4096
+        optg = SolverOptions(nreg=2, nstream=4, do_urban=True)
+        swg, lwg = g._example_inputs(C=Cg, L=8, S=1, dtype=np.float32)
+        swg = jax.tree_util.tree_map(put, swg)
+        lwg = jax.tree_util.tree_map(put, lwg)
+
+        def loss(veg_ext, sw_in, lw_in):
+            a = dataclasses.replace(sw_in, veg_ext=veg_ext)
+            nd, nf, bc = spartacus_sw(a, optg, lg4)
+            li, ln, lbc = spartacus_lw(lw_in, optg, lg4)
+            leaves = jax.tree_util.tree_leaves((nd, nf, bc, li, ln, lbc))
+            return sum(jnp.sum(x) for x in leaves)
+
+        gfun = jax.grad(loss)
+
+        @jax.jit
+        def run_n(sw_in, lw_in, n):
+            def body(i, chain):
+                ve = sw_in.veg_ext + chain * 1e-30 + i * 1e-9
+                return jnp.sum(gfun(ve, sw_in, lw_in))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        cps = _measure(run_n, swg, lwg, Cg, n_short=1, n_long=6) / n_chips
+        print(json.dumps({
+            "metric": "grad_step_columns_per_sec_per_chip",
+            "value": round(cps, 1),
+            "unit": "columns/s/chip",
+            # normalized against the same round-1 forward baseline: a
+            # full value-and-gradient step vs a plain forward solve
+            "vs_baseline": round(cps / ROUND1_BASELINE_COLS_PER_SEC, 3),
+        }))
+
+    ok["grad"] = _block(grad_blk, "grad_step_columns_per_sec_per_chip")
 
     # --- 1M-column single-chip capacity (column_chunk streaming) ---------
     def capacity_blk():

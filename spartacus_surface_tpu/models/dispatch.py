@@ -117,8 +117,7 @@ def _gather_inputs(arrays: dict, idx, spectral_prefix: str,
     a = arrays
 
     def g(key):
-        val = a.get(key)
-        return None if val is None else np.asarray(val)[idx]
+        return _take(a.get(key), idx)
 
     common = dict(
         dz=g("dz"),
@@ -228,6 +227,19 @@ def _solver_groups(config: Config):
     }
 
 
+def _take(val, idx):
+    """Gather columns: host numpy indexing for host arrays (the cheap
+    production path), jnp gather for jax arrays/tracers so run_radsurf
+    stays differentiable with respect to traced input fields."""
+    if val is None:
+        return None
+    if isinstance(val, np.ndarray):
+        return val[idx]
+    import jax.numpy as jnp
+
+    return jnp.asarray(val)[idx]
+
+
 def _pad_group(payload, n: int, npad: int):
     """Edge-replicate the last column of every payload leaf up to npad
     (a valid column, so solvers are numerically safe on the padding;
@@ -236,6 +248,13 @@ def _pad_group(payload, n: int, npad: int):
         return payload
 
     def f(x):
+        if not isinstance(x, np.ndarray) and not np.isscalar(x):
+            import jax.numpy as jnp
+
+            x = jnp.asarray(x)
+            return jnp.concatenate(
+                [x, jnp.repeat(x[-1:], npad - n, axis=0)], axis=0
+            )
         x = np.asarray(x)
         return np.concatenate(
             [x, np.repeat(x[-1:], npad - n, axis=0)], axis=0
@@ -396,8 +415,10 @@ def run_radsurf(config: Config, arrays: dict, mesh=None):
     """
     rep = np.asarray(arrays["i_representation"])
     ncol = rep.shape[0]
-    nlay = arrays["dz"].shape[1]
-    dtype = jax.dtypes.canonicalize_dtype(np.asarray(arrays["dz"]).dtype)
+    dz = arrays["dz"]
+    nlay = dz.shape[1]
+    dtype = jax.dtypes.canonicalize_dtype(
+        dz.dtype if hasattr(dz, "dtype") else np.asarray(dz).dtype)
     ndev = int(mesh.devices.size) if mesh is not None else 1
 
     def padded(n):
@@ -432,7 +453,7 @@ def run_radsurf(config: Config, arrays: dict, mesh=None):
         if not idx.size:
             continue
         n = int(idx.size)
-        pl = {"cos_sza": np.asarray(arrays["cos_sza"])[idx]}
+        pl = {"cos_sza": _take(arrays["cos_sza"], idx)}
         opt_sw = opt_lw = None
         if config.do_sw:
             pl["sw"] = _gather_inputs(arrays, idx, "sw",

@@ -47,6 +47,120 @@ def test_grad_albedo_wrt_veg_ext():
     np.testing.assert_allclose(np.asarray(g), fd, rtol=2e-4, atol=1e-8)
 
 
+def test_grad_lw_wrt_veg_ext():
+    """Longwave gradient vs finite differences (urban, emission path)."""
+    import __graft_entry__ as g
+
+    from spartacus_surface_tpu.models.solver import spartacus_lw
+
+    _, lw = g._example_inputs(C=2, L=2, S=1, dtype=np.float64)
+    opt = SolverOptions(nreg=2, nstream=2, do_urban=True, n_double=6)
+    lg = LegendreGauss(2)
+
+    def loss(veg_ext):
+        probe = dataclasses.replace(lw, veg_ext=veg_ext)
+        internal, norm, _ = spartacus_lw(probe, opt, lg)
+        return jnp.sum(internal["top_net"]) + jnp.sum(norm["ground_net"])
+
+    x0 = jnp.asarray(lw.veg_ext)
+    grad = jax.grad(loss)(x0)
+    assert np.all(np.isfinite(np.asarray(grad)))
+    eps = 1e-6
+    base = float(loss(x0))
+    fd = np.zeros_like(np.asarray(x0))
+    for c in range(fd.shape[0]):
+        for l in range(fd.shape[1]):
+            pert = np.array(x0)
+            pert[c, l] += eps
+            fd[c, l] = (float(loss(jnp.asarray(pert))) - base) / eps
+    np.testing.assert_allclose(np.asarray(grad), fd, rtol=5e-4,
+                               atol=1e-6 * max(1.0, abs(base)))
+
+
+def test_grad_nreg3_sw():
+    """Shortwave gradient at the RAMI-V flagship configuration (nreg=3,
+    4 streams) vs finite differences."""
+    rng = np.random.default_rng(42)
+    inp = make_inputs(rng, C=2, L=2, S=1, urban=True)
+    opt = SolverOptions(nreg=3, nstream=4, do_urban=True, n_double=6)
+    lg = LegendreGauss(4)
+
+    def loss(veg_ext):
+        probe = dataclasses.replace(inp, veg_ext=veg_ext)
+        ndir, _, bc = spartacus_sw(probe, opt, lg)
+        return jnp.sum(bc["top_albedo_dir"]) + jnp.sum(ndir["ground_net"])
+
+    x0 = jnp.asarray(inp.veg_ext)
+    grad = jax.grad(loss)(x0)
+    assert np.all(np.isfinite(np.asarray(grad)))
+    eps = 1e-6
+    base = float(loss(x0))
+    fd = np.zeros_like(np.asarray(x0))
+    for c in range(fd.shape[0]):
+        for l in range(fd.shape[1]):
+            pert = np.array(x0)
+            pert[c, l] += eps
+            fd[c, l] = (float(loss(jnp.asarray(pert))) - base) / eps
+    np.testing.assert_allclose(np.asarray(grad), fd, rtol=5e-4, atol=1e-8)
+
+
+def test_grad_chunked_matches_unchunked():
+    """column_chunk is a pure reshape of the batch axis, so the gradient
+    through the chunked lax.map must match the whole-batch gradient."""
+    rng = np.random.default_rng(3)
+    inp = make_inputs(rng, C=4, L=2, S=1, urban=True)
+    lg = LegendreGauss(2)
+
+    def grad_with(chunk):
+        opt = SolverOptions(nreg=2, nstream=2, do_urban=True, n_double=6,
+                            column_chunk=chunk)
+
+        def loss(veg_ext):
+            probe = dataclasses.replace(inp, veg_ext=veg_ext)
+            _, _, bc = spartacus_sw(probe, opt, lg)
+            return jnp.sum(bc["top_albedo_dir"])
+
+        return np.asarray(jax.grad(loss)(jnp.asarray(inp.veg_ext)))
+
+    np.testing.assert_allclose(grad_with(2), grad_with(0),
+                               rtol=1e-12, atol=1e-14)
+
+
+def test_grad_through_run_radsurf():
+    """Gradient through the PRODUCTION dispatcher (tile bucketing, group
+    padding, fused core) with respect to a traced input field, checked
+    against finite differences."""
+    import __graft_entry__ as g
+
+    from spartacus_surface_tpu.models.dispatch import run_radsurf
+    from spartacus_surface_tpu.utils.config import Config
+
+    config = Config(nsw=1, nlw=1)
+    config.consolidate()
+    arrays = g._example_arrays(C=4, L=2, S=1, dtype=np.float64)
+
+    def loss(veg_ext):
+        probed = dict(arrays)
+        probed["veg_ext"] = veg_ext
+        out = run_radsurf(config, probed)
+        return (jnp.sum(out["sw_norm_dir"]["ground_net"])
+                + jnp.sum(out["lw_internal"]["top_net"]))
+
+    x0 = jnp.asarray(arrays["veg_ext"])
+    grad = jax.grad(loss)(x0)
+    assert np.all(np.isfinite(np.asarray(grad)))
+    eps = 1e-6
+    base = float(loss(x0))
+    fd = np.zeros_like(np.asarray(x0))
+    for c in range(fd.shape[0]):
+        for l in range(fd.shape[1]):
+            pert = np.array(x0)
+            pert[c, l] += eps
+            fd[c, l] = (float(loss(jnp.asarray(pert))) - base) / eps
+    np.testing.assert_allclose(np.asarray(grad), fd, rtol=5e-4,
+                               atol=1e-6 * max(1.0, abs(base)))
+
+
 def test_grad_survives_pallas_env_override(monkeypatch):
     """SPARTACUS_PALLAS=1 must not break jax.grad: the custom_vjp backward
     pins the XLA path via explicit opt fields, which take precedence over
