@@ -357,6 +357,9 @@ def main() -> int:
         assert np.isfinite(prof[prof != -9999.0]).all()
         f.close()
 
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # ~2.4 GB of scratch
         total = sum(float(v) for v in phases.values())
         print(json.dumps({
             "metric": "cli_end_to_end_columns_per_sec",
