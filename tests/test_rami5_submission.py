@@ -148,3 +148,20 @@ def test_fractional_cover_check(rami5_runs, capsys):
     # reference workflow's own sanity bar (check_fractional_cover.m).
     assert abs(rel) < 0.25
     assert f"FSCtrue={truth:g}" in capsys.readouterr().out
+
+
+def test_fractional_cover_het14(tmp_path):
+    """Second scene, different canopy geometry (understory, zmax 4.12 m):
+    the diagnosed cover matches the published RAMI-V value to ~1% — an
+    oracle independent of both this codebase and the reference code."""
+    scene_id = "HET14_WCO_UND"
+    scene = f"{REF}/scene_nc/rami5_{scene_id}_scene.nc"
+    out = tmp_path / "overhead.nc"
+    run_driver(f"{REF}/config.nam", scene, out,
+               extra_nam=("iverbose = 1,\ntop_flux_dn_direct_sw = 1.0,"
+                          "\nsolar_zenith_angle = 0,"),
+               tmp_path=tmp_path)
+    (fsc, truth, rel), = sub.check_fractional_cover(
+        {scene_id: out}, verbose=False).values()
+    assert truth == 0.392
+    assert abs(rel) < 0.05  # measured 1.1% on the f64 route
