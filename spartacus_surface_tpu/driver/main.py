@@ -122,19 +122,38 @@ def build_argparser():
 # each slice's working set far from the cliff while leaving small runs
 # (e.g. 1M cols x 8 lay x 1 band) in the faster single-program path.
 _STREAM_SLICE_ELEMS = 6_000_000
+# The double-precision (x64) solve runs the XLA route (the Pallas kernels
+# are f32-only), which materializes UNFLATTENED per-element operator
+# matrices: XLA keeps several rematerialized copies of the whole [cols,
+# lay, band, N, N] stack tile-padded to (32, 128) — measured ~365 KB of
+# transient HBM per column-layer-band element at nreg=3 (18.8 GB at a
+# 51.5k-element slice) — so its memory cliff sits ~300x lower than the
+# kernel route's.  20k elements/slice keeps the transients near 7 GB
+# (44-col slices = 24.6k elements verified on v5e); throughput is a
+# non-goal on the fallback route.
+_STREAM_SLICE_ELEMS_X64 = 20_000
 
 
 def _auto_stream_chunk(config, arrays, ncol: int) -> int:
     """Pick a streaming chunk (0 = stream not needed) for very large
     solves; prefers a chunk that divides ncol evenly so every slice hits
     the same compiled executable (distinct shapes recompile)."""
+    import jax
+
     nlay = arrays["dz"].shape[1]
     nband = max(config.nswinternal if config.do_sw else 1,
                 config.nlwinternal if config.do_lw else 1)
+    # The tiny x64 target exists for the TPU's memory cliffs only; CPU
+    # double runs (the f64 validation platform) keep the big slices.
+    target = (
+        _STREAM_SLICE_ELEMS_X64
+        if jax.config.jax_enable_x64 and jax.default_backend() == "tpu"
+        else _STREAM_SLICE_ELEMS
+    )
     elems = ncol * nlay * nband
-    if elems <= 2 * _STREAM_SLICE_ELEMS:
+    if elems <= 2 * target:
         return 0
-    n_min = -(-elems // _STREAM_SLICE_ELEMS)
+    n_min = -(-elems // target)
     n_slices = next(
         (n for n in range(n_min, min(2 * n_min, ncol) + 1)
          if ncol % n == 0),
@@ -385,6 +404,12 @@ def main(argv=None):
             print(f"{jcol:5d}: {TILE_NAMES.get(int(code), '?')},"
                   f" {int(arrays['nlay'][jcol - 1])} layers")
 
+    if args.precision == "double" and jax.default_backend() == "tpu":
+        log("Warning: double precision on TPU runs the XLA fallback path"
+            " and this platform executes it with single-precision"
+            " buffers; for true float64 validation use --platform cpu."
+            " Production TPU runs should use --precision single.",
+            level=1)
     if args.stream_chunk is None:
         args.stream_chunk = _auto_stream_chunk(config, arrays, ncol)
         if args.stream_chunk:

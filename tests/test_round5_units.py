@@ -70,17 +70,28 @@ class _Cfg:
 
 
 def test_auto_stream_chunk():
+    import jax
+
+    from spartacus_surface_tpu.driver.main import _STREAM_SLICE_ELEMS_X64
+
     cfg = _Cfg()
     arrays = {"dz": np.zeros((1, 40))}
-    # small run: no streaming
-    assert _auto_stream_chunk(cfg, arrays, 5000) == 0
-    # 50048 x 40 x 14 = 28M elements: streams, chunk divides ncol evenly
+    # the tiny x64 target applies on TPU only; this suite runs on CPU
+    target = (
+        _STREAM_SLICE_ELEMS_X64
+        if jax.config.jax_enable_x64 and jax.default_backend() == "tpu"
+        else _STREAM_SLICE_ELEMS
+    )
+    assert target == _STREAM_SLICE_ELEMS  # CPU: big slices even in f64
+    # below threshold: no streaming
+    small = (2 * target) // (40 * 14)
+    assert _auto_stream_chunk(cfg, arrays, small) == 0
+    # 50048 x 40 x 14: streams, chunk divides ncol evenly, slice in budget
     ck = _auto_stream_chunk(cfg, arrays, 50048)
     assert ck > 0 and 50048 % ck == 0
-    assert ck * 40 * 14 <= 2 * _STREAM_SLICE_ELEMS
+    assert ck * 40 * 14 <= 2 * target
     # prime ncol: falls back to ceil split
-    ck = _auto_stream_chunk(cfg, arrays, 50023)
-    assert ck > 0
+    assert _auto_stream_chunk(cfg, arrays, 50023) > 0
 
 
 def test_budget_summary_vs_table(capsys):
