@@ -134,7 +134,7 @@ _STREAM_SLICE_ELEMS = 6_000_000
 _STREAM_SLICE_ELEMS_X64 = 20_000
 
 
-def _auto_stream_chunk(config, arrays, ncol: int) -> int:
+def _auto_stream_chunk(config, arrays, ncol: int, n_devices: int = 1) -> int:
     """Pick a streaming chunk (0 = stream not needed) for very large
     solves; prefers a chunk that divides ncol evenly so every slice hits
     the same compiled executable (distinct shapes recompile)."""
@@ -150,6 +150,9 @@ def _auto_stream_chunk(config, arrays, ncol: int) -> int:
         if jax.config.jax_enable_x64 and jax.default_backend() == "tpu"
         else _STREAM_SLICE_ELEMS
     )
+    # The addressing/memory cliffs are PER DEVICE; a mesh run splits
+    # every buffer over its devices, so the threshold scales with them.
+    target *= max(1, n_devices)
     elems = ncol * nlay * nband
     if elems <= 2 * target:
         return 0
@@ -162,20 +165,24 @@ def _auto_stream_chunk(config, arrays, ncol: int) -> int:
     return -(-ncol // n_slices)
 
 
-def _stream_solve(config, data, arrays, stream_chunk, mesh):
+def _stream_solve(config, data, arrays, stream_chunk, mesh,
+                  want_budgets=True):
     """Streamed solve with DEVICE-SIDE post-processing per slice.
 
     Scaling the two normalizations by their top-of-canopy fluxes, summing
-    them, and reducing the conservation budget to per-column vectors all
-    happen on device before the slice is fetched: the host then pulls ONE
-    summed flux container (plus [C]-sized budget vectors) instead of two
-    full normalized containers — half the device->host bytes, which
-    dominate very large runs on bandwidth-limited links.
+    them, and (when the conservation check will run) reducing the budget
+    to per-column vectors all happen on device before the slice is
+    fetched: the host then pulls ONE summed flux container (plus
+    [C]-sized budget vectors) instead of two full normalized containers —
+    half the device->host bytes, which dominate very large runs on
+    bandwidth-limited links.
 
     Returns (sw_flux, lw_flux, budgets) as host arrays; budgets maps
     "sw_dir"/"sw_diff"/"lw_int"/"lw_norm" to budget_components dicts
-    (per-unit-TOC, what the reference's conservation table shows).
+    (per-unit-TOC, what the reference's conservation table shows), and is
+    empty when want_budgets is false.
     """
+    import jax
     import numpy as np
 
     from ..models import flux_utils
@@ -192,34 +199,44 @@ def _stream_solve(config, data, arrays, stream_chunk, mesh):
     aug = dict(arrays)
     aug.update(scal)
 
-    import jax
-
     # One jitted program for the whole per-slice epilogue: on a relay
     # backend every EAGER op costs a dispatch round trip, and the
-    # epilogue touches ~100 small arrays per slice.
-    @jax.jit
-    def post(res, sc, masks):
-        out = {"budget": {}}
-        if config.do_sw:
-            nd = flux_utils.scale_flux(res["sw_norm_dir"],
-                                       sc["__top_dir_sw"])
-            nf = flux_utils.scale_flux(res["sw_norm_diff"],
-                                       sc["__top_diff_sw"])
-            out["sw_flux"] = flux_utils.sum_flux(nd, nf)
-            out["budget"]["sw_dir"] = flux_utils.budget_with_masks(
-                res["sw_norm_dir"], masks)
-            out["budget"]["sw_diff"] = flux_utils.budget_with_masks(
-                res["sw_norm_diff"], masks)
-        if config.do_lw:
-            lw_norm = flux_utils.scale_flux(res["lw_norm"],
-                                            sc["__top_lw"])
-            out["lw_flux"] = flux_utils.sum_flux(res["lw_internal"],
-                                                 lw_norm)
-            out["budget"]["lw_int"] = flux_utils.budget_with_masks(
-                res["lw_internal"], masks)
-            out["budget"]["lw_norm"] = flux_utils.budget_with_masks(
-                res["lw_norm"], masks)
-        return out
+    # epilogue touches ~100 small arrays per slice.  Cached on the
+    # function so nrepeat > 1 (and repeated calls with the same run
+    # state) reuse the compiled program instead of re-jitting a fresh
+    # closure per call.
+    cache = getattr(_stream_solve, "_post_cache", None)
+    if (cache is not None and cache[0] is config and cache[1] is mesh
+            and cache[2] == want_budgets):
+        post = cache[3]
+    else:
+        @jax.jit
+        def post(res, sc, masks):
+            out = {"budget": {}}
+            if config.do_sw:
+                nd = flux_utils.scale_flux(res["sw_norm_dir"],
+                                           sc["__top_dir_sw"])
+                nf = flux_utils.scale_flux(res["sw_norm_diff"],
+                                           sc["__top_diff_sw"])
+                out["sw_flux"] = flux_utils.sum_flux(nd, nf)
+                if want_budgets:
+                    out["budget"]["sw_dir"] = flux_utils.budget_with_masks(
+                        res["sw_norm_dir"], masks)
+                    out["budget"]["sw_diff"] = flux_utils.budget_with_masks(
+                        res["sw_norm_diff"], masks)
+            if config.do_lw:
+                lw_norm = flux_utils.scale_flux(res["lw_norm"],
+                                                sc["__top_lw"])
+                out["lw_flux"] = flux_utils.sum_flux(res["lw_internal"],
+                                                     lw_norm)
+                if want_budgets:
+                    out["budget"]["lw_int"] = flux_utils.budget_with_masks(
+                        res["lw_internal"], masks)
+                    out["budget"]["lw_norm"] = flux_utils.budget_with_masks(
+                        res["lw_norm"], masks)
+            return out
+
+        _stream_solve._post_cache = (config, mesh, want_budgets, post)
 
     def slice_solve(a):
         sc = {key: a.pop(key) for key in scal}
@@ -411,7 +428,9 @@ def main(argv=None):
             " Production TPU runs should use --precision single.",
             level=1)
     if args.stream_chunk is None:
-        args.stream_chunk = _auto_stream_chunk(config, arrays, ncol)
+        args.stream_chunk = _auto_stream_chunk(
+            config, arrays, ncol,
+            int(mesh.devices.size) if mesh is not None else 1)
         if args.stream_chunk:
             log(f"Streaming the solve in {args.stream_chunk}-column"
                 " chunks (host pipeline; see --stream-chunk)")
@@ -422,7 +441,8 @@ def main(argv=None):
         with profiling.hook("radsurf"):
             if args.stream_chunk:
                 sw_flux, lw_flux, budgets = _stream_solve(
-                    config, data, arrays, args.stream_chunk, mesh)
+                    config, data, arrays, args.stream_chunk, mesh,
+                    want_budgets=driver_config.do_conservation_check)
             else:
                 result = run_radsurf(config, arrays, mesh=mesh)
         if result is not None:

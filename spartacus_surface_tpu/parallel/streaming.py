@@ -59,7 +59,7 @@ def stream_columns(solve, arrays, chunk: int, depth: int = 2):
             f" not have a leading column axis of length {ncol}: {bad}"
         )
     if chunk <= 0 or chunk >= ncol:
-        return jax.tree_util.tree_map(np.asarray, solve(arrays))
+        return jax.device_get(solve(arrays))
 
     inflight: list = []
     parts: list = []

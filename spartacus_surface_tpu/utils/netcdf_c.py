@@ -99,6 +99,7 @@ class NativeFile:
         self._defined = mode == "r"
         self._dimids: dict[str, int] = {}
         self._varids: dict[str, int] = {}
+        self._vartypes: dict[str, int] = {}
 
     # ---------------- read ----------------
 
@@ -255,6 +256,7 @@ class NativeFile:
         _check(self._lib.nc_def_var(self._ncid, name.encode(), nc_type,
                                     len(dims), dimids, ctypes.byref(varid)))
         self._varids[name] = varid.value
+        self._vartypes[name] = nc_type
         for key, val in attrs.items():
             self.put_attribute(name, key, val)
 
@@ -266,6 +268,17 @@ class NativeFile:
                                              len(data), data))
             return
         arr = np.atleast_1d(np.asarray(val))
+        if (key == "_FillValue"
+                and self._vartypes.get(varname) == NC_FLOAT):
+            # libnetcdf (NetCDF4 mode) REQUIRES _FillValue to have the
+            # variable's own type; a double fill on a float variable is
+            # rejected with 'Not a valid data type or _FillValue type
+            # mismatch'.
+            farr = np.ascontiguousarray(arr, np.float32)
+            _check(self._lib.nc_put_att_float(
+                self._ncid, varid, key.encode(), NC_FLOAT, farr.size,
+                farr.ctypes.data_as(ctypes.c_void_p)))
+            return
         if np.issubdtype(arr.dtype, np.integer) and np.all(
             (arr >= np.iinfo(np.int32).min) & (arr <= np.iinfo(np.int32).max)
         ):

@@ -76,11 +76,13 @@ def read_nc(path):
 
 
 def illumination_string(solar_id: str) -> str:
-    """'DIFFUSE' or z<zen>a<azim> (write_ascii.m:9-17)."""
+    """'DIFFUSE' or z<zen>a<azim> (write_ascii.m:9-17).  Angles outside
+    the RAMI-V table default to azimuth 0, as the Matlab's zero-filled
+    azim(0:90) lookup does (e.g. the overhead 'make overhead' runs)."""
     if solar_id == "diffuse":
         return "DIFFUSE"
     zen = int(solar_id)
-    return f"z{zen:02d}a{AZIMUTH[zen]:03d}"
+    return f"z{zen:02d}a{AZIMUTH.get(zen, 0):03d}"
 
 
 def write_ascii(mes_dir, scene, bands, solar_id, meas, values,
