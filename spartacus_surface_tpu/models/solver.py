@@ -209,6 +209,16 @@ class SolverOptions:
     # VMEM-footprint guard on the system size).  SPARTACUS_PALLAS_SWEEPS=1/0
     # force-overrides.
     use_pallas_sweeps: bool | None = None
+    # Replace the sequential lax.scan adding/flux recurrences with
+    # O(log nlay)-depth associative scans (ops/assoc_adding.py): the
+    # upward interface-operator build becomes a Redheffer-star prefix
+    # composition, the downward flux recurrence a suffix composition of
+    # block-affine carry maps.  ~4-6x more FLOPs but L/log2(L) less
+    # dependency depth — for very deep canopies (hundreds of layers) at
+    # small batch, where the layer chain rather than throughput binds.
+    # XLA path only (forces the Pallas sweep kernels off); parity with
+    # the scan path is exercised in tests/test_associative.py.
+    associative_sweeps: bool = False
     # Solve in column chunks of this size via lax.map (0 = whole batch in
     # one pass; -1 = AUTO, see _resolve_column_chunk).  Bounds the HBM
     # working set — the per-interface operator stacks are the largest
@@ -376,7 +386,7 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
     dz_b = jnp.broadcast_to(inp.dz[:, :, None], (C, L, S))
     g0 = jnp.broadcast_to(g0, (C, L, S, nreg, nreg))
     use_pf = _use_pallas(opt)
-    use_ps = _use_pallas_sweeps(opt, lg)
+    use_ps = _use_pallas_sweeps(opt, lg) and not opt.associative_sweeps
 
     if use_pf and use_ps:
         # Fused tile-native path: gammas are relaid out ONCE into the
@@ -486,7 +496,31 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
         roof_alb.transpose(1, 0, 2),
         roof_alb_dir.transpose(1, 0, 2),
     )
-    (a_top, d_top), ys = jax.lax.scan(up_step, (a_ground, d_ground), xs)
+    if opt.associative_sweeps:
+        # Log-depth route: all per-layer carry-ins at once via the
+        # Redheffer-star prefix composition, then ONE vmapped up_step
+        # recovers the per-layer ys (identical local algebra, no chain).
+        from ..ops.assoc_adding import (
+            ground_star_element,
+            star_prefix,
+            sw_layer_star_elements,
+        )
+
+        elems = sw_layer_star_elements(
+            _unflat(xs[0], nd, nd), _unflat(xs[1], nd, nd),
+            _unflat(xs[2], nreg, nreg), _unflat(xs[3], nd, nreg),
+            _unflat(xs[4], nd, nreg), xs[5], xs[6],
+            xs[7][..., None, None] * (hw[:, None] * jnp.ones((ns, ns), dtype)),
+            (zcos[None, :, None] * xs[8])[..., None] * jnp.asarray(hw, dtype),
+            nreg, ns,
+        )
+        prefix = star_prefix(
+            elems, ground_star_element(a_ground, d_ground, nreg)
+        )
+        a_top, d_top = prefix["Rd"][-1], prefix["Su"][-1]
+        _, ys = jax.vmap(up_step)((prefix["Rd"][:-1], prefix["Su"][:-1]), xs)
+    else:
+        (a_top, d_top), ys = jax.lax.scan(up_step, (a_ground, d_ground), xs)
     a_above_l, d_above_l, denom_l, a_below_l, d_below_l = ys
 
     # Top-of-canopy boundary conditions (radsurf_urban_sw.F90:668-674)
@@ -732,10 +766,57 @@ def _spartacus_sw_impl(inp: CanopyInputs, opt: SolverOptions,
             trans_dir_clear.transpose(1, 0),
             inp.veg_fraction.transpose(1, 0),
         )
-        (dn_dir_fin, dn_diff_fin, dn_dir_clear_fin), outs = jax.lax.scan(
-            down_step, (dn_dir0, dn_diff0, dn_dir_clear0), xs_sweep,
-            reverse=True,
-        )
+        if opt.associative_sweeps:
+            # Log-depth route: the downward recurrence is block-affine in
+            # its carry; compose the per-layer maps by suffix associative
+            # scan, then vmap down_step for the per-layer outputs.
+            from ..ops.assoc_adding import (
+                affine_down_carries,
+                scalar_suffix_carries,
+            )
+
+            Tl = _unflat(xs_sweep[1], nd, nd)
+            denom_u = _unflat(denom_l, nd, nd)
+            v_reg = geo["v_ov"].transpose(1, 0, 2, 3)[..., :nreg, :]
+            TVr = jnp.einsum(
+                "lcsirn,lcrq->lcsiqn", Tl.reshape(L, C, S, nd, nreg, ns),
+                v_reg, precision="highest",
+            ).reshape(L, C, S, nd, nd)
+            Cmap = solve(denom_u, TVr)
+            if with_direct:
+                Amap = jnp.einsum(
+                    "lcspr,lcrw->lcspw", _unflat(xs_sweep[2], nreg, nreg),
+                    v_reg, precision="highest",
+                )
+                SdnV = jnp.einsum(
+                    "lcsip,lcpw->lcsiw", _unflat(xs_sweep[3], nd, nreg),
+                    v_reg, precision="highest",
+                )
+                Bmap = solve(denom_u, matmul(
+                    _unflat(xs_sweep[0], nd, nd),
+                    matmul(_unflat(d_above_l, nd, nreg), Amap),
+                ) + SdnV)
+                cs = (nbf / nbf_above * trans_dir_clear).transpose(1, 0)
+            else:
+                Amap = jnp.broadcast_to(
+                    jnp.eye(nreg, dtype=dtype), (L, C, S, nreg, nreg)
+                )
+                Bmap = jnp.zeros((L, C, S, nd, nreg), dtype)
+                cs = jnp.ones((L, C), dtype)
+            (dn_dir_in, dn_diff_in), (dn_dir_fin, dn_diff_fin) = (
+                affine_down_carries(Amap, Bmap, Cmap, dn_dir0, dn_diff0)
+            )
+            dn_clear_in, dn_dir_clear_fin = scalar_suffix_carries(
+                cs, dn_dir_clear0
+            )
+            _, outs = jax.vmap(down_step)(
+                (dn_dir_in, dn_diff_in, dn_clear_in), xs_sweep
+            )
+        else:
+            (dn_dir_fin, dn_diff_fin, dn_dir_clear_fin), outs = jax.lax.scan(
+                down_step, (dn_dir0, dn_diff0, dn_dir_clear0), xs_sweep,
+                reverse=True,
+            )
         # Per-layer outputs come back stacked [L, C, ...] -> [C, L, ...]
         outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}
         # Ground fluxes (radsurf_urban_sw.F90:861-876)
@@ -1311,7 +1392,7 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
     dz_b = jnp.broadcast_to(inp.dz[:, :, None], (C, L, S))
 
     use_pf = _use_pallas(opt)
-    use_ps = _use_pallas_sweeps(opt, lg)
+    use_ps = _use_pallas_sweeps(opt, lg) and not opt.associative_sweeps
     lw_tiled = use_pf and use_ps
     if lw_tiled:
         # Fused tile-native path (see the SW twin above): one gamma
@@ -1440,9 +1521,35 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
         roof_emission.transpose(1, 0, 2),
         exposed_roof.transpose(1, 0),
     )
-    (a_top, source_top), ys = jax.lax.scan(
-        up_step, (a_ground, source_ground), xs
-    )
+    if opt.associative_sweeps:
+        # Log-depth route (see the SW twin above): emission rides as a
+        # width-1 source channel through the same star composition.
+        from ..ops.assoc_adding import (
+            ground_star_element,
+            lw_layer_star_elements,
+            star_prefix,
+        )
+
+        elems = lw_layer_star_elements(
+            _unflat(xs[0], nd, nd), _unflat(xs[1], nd, nd), xs[2],
+            xs[3], xs[4],
+            (1.0 - xs[5])[..., None, None]
+            * (hw[:, None] * jnp.ones((ns, ns), dtype)),
+            (xs[6] * xs[7][..., None])[..., None] * jnp.asarray(hw, dtype),
+            nreg, ns,
+        )
+        prefix = star_prefix(
+            elems,
+            ground_star_element(a_ground, source_ground[..., None], 1),
+        )
+        a_top, source_top = prefix["Rd"][-1], prefix["Su"][-1][..., 0]
+        _, ys = jax.vmap(up_step)(
+            (prefix["Rd"][:-1], prefix["Su"][:-1, ..., 0]), xs
+        )
+    else:
+        (a_top, source_top), ys = jax.lax.scan(
+            up_step, (a_ground, source_ground), xs
+        )
     a_above_l, source_above_l, denom_l, a_below_l, source_below_l = ys
 
     # Top-of-canopy boundary conditions (radsurf_urban_lw.F90:629-637)
@@ -1548,7 +1655,35 @@ def _spartacus_lw_impl(inp: CanopyInputs, opt: SolverOptions,
             emiss_wall.transpose(1, 0, 2),
             inp.dz.transpose(1, 0),
         )
-        dn_fin, outs = jax.lax.scan(down_step, dn0, xs_sweep, reverse=True)
+        if opt.associative_sweeps:
+            # Log-depth route: affine carry maps with the emission constant
+            # in the B slot over a frozen width-1 channel pinned at 1.
+            from ..ops.assoc_adding import affine_down_carries
+
+            Tl = _unflat(xs_sweep[1], nd, nd)
+            denom_u = _unflat(denom_l, nd, nd)
+            v_reg = geo["v_ov"].transpose(1, 0, 2, 3)[..., :nreg, :]
+            TVr = jnp.einsum(
+                "lcsirn,lcrq->lcsiqn", Tl.reshape(L, C, S, nd, nreg, ns),
+                v_reg, precision="highest",
+            ).reshape(L, C, S, nd, nd)
+            Cmap = solve(denom_u, TVr)
+            if with_source:
+                Bmap = solve(denom_u, matvec(
+                    _unflat(xs_sweep[0], nd, nd), source_above_l
+                ) + xs_sweep[2])[..., None]
+            else:
+                Bmap = jnp.zeros((L, C, S, nd, 1), dtype)
+            Amap = jnp.ones((L, C, S, 1, 1), dtype)
+            one0 = jnp.ones((C, S, 1), dtype)
+            (_, dn_in), (_, dn_fin) = affine_down_carries(
+                Amap, Bmap, Cmap, one0, dn0
+            )
+            _, outs = jax.vmap(down_step)(dn_in, xs_sweep)
+        else:
+            dn_fin, outs = jax.lax.scan(
+                down_step, dn0, xs_sweep, reverse=True
+            )
         outs = {k: jnp.moveaxis(v, 0, 1) for k, v in outs.items()}
         up_fin = matvec(a_ground, dn_fin)
         if with_source:
